@@ -1,0 +1,37 @@
+"""The fastq-like ``.class`` output format (ref ClassPro.c:289, README.md:40-52).
+
+Per read, four lines::
+
+    @<name> <comment>
+    <sequence>
+    +
+    <class string>     # one of E/H/D/R per base; first K-1 positions are N
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, NamedTuple, Sequence
+
+
+class ClassRecord(NamedTuple):
+    header: str  # full header line including leading '@'
+    seq: str
+    classes: str
+
+
+def write_class(path: str, records: Sequence[ClassRecord] | Iterator[ClassRecord]) -> None:
+    with open(path, "w") as f:
+        for r in records:
+            f.write(f"{r.header}\n{r.seq}\n+\n{r.classes}\n")
+
+
+def read_class(path: str) -> Iterator[ClassRecord]:
+    with open(path) as f:
+        while True:
+            hdr = f.readline()
+            if not hdr:
+                return
+            seq = f.readline().rstrip("\n")
+            f.readline()  # '+'
+            classes = f.readline().rstrip("\n")
+            yield ClassRecord(hdr.rstrip("\n"), seq, classes)
