@@ -1,0 +1,63 @@
+"""FASTK codec and fixture integrity tests."""
+import gzip
+import json
+import pathlib
+
+import numpy as np
+import pytest
+
+from classpro_tpu.io.fastk import (
+    decode_profile, encode_profile, load_histogram, open_profiles)
+from classpro_tpu.io.fastx import read_fastx
+from classpro_tpu.io.classfile import read_class
+
+FIX = pathlib.Path(__file__).parent / "fixtures"
+
+
+@pytest.mark.parametrize("case", [
+    np.array([], dtype=np.uint16),
+    np.array([0], dtype=np.uint16),
+    np.array([32767], dtype=np.uint16),
+    np.array([200] * 500, dtype=np.uint16),
+    np.array([5, 5, 5, 37, 5, 32767, 0, 1], dtype=np.uint16),
+])
+def test_roundtrip_edge(case):
+    assert np.array_equal(decode_profile(encode_profile(case)), case)
+
+
+def test_roundtrip_random():
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        n = int(rng.integers(1, 4000))
+        base = rng.integers(0, 80, n).astype(np.int64)
+        runs = np.repeat(base, rng.integers(1, 30, n))[:n]
+        prof = np.minimum(runs + rng.integers(0, 32700), 32767).astype(np.uint16)
+        assert np.array_equal(decode_profile(encode_profile(prof)), prof)
+
+
+@pytest.mark.parametrize("fx", ["tiny", "medium"])
+def test_fixture_consistency(fx):
+    meta = json.loads((FIX / fx / "meta.json").read_text())
+    P = open_profiles(str(FIX / fx / "reads"))
+    assert P.nreads == meta["n_reads"]
+    assert P.kmer == meta["kmer"]
+    reads = list(read_fastx(str(FIX / fx / "reads.fasta.gz")))
+    assert len(reads) == P.nreads
+    K = P.kmer
+    for i in [0, P.nreads // 2, P.nreads - 1]:
+        assert len(P.fetch(i)) == len(reads[i].seq) - K + 1
+    H = load_histogram(str(FIX / fx / "reads"))
+    assert H.kmer == K
+
+
+def test_golden_class_readable():
+    path = FIX / "tiny" / "golden.class.gz"
+    tmp = path.parent / "_tmp.class"
+    tmp.write_bytes(gzip.decompress(path.read_bytes()))
+    try:
+        recs = list(read_class(str(tmp)))
+        assert len(recs) == 221
+        assert set(recs[0].classes) <= set("NEHDR")
+        assert recs[0].classes[:39] == "N" * 39
+    finally:
+        tmp.unlink()
