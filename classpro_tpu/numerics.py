@@ -109,9 +109,21 @@ def logp_poisson(k: int, lam: int) -> float:
     return k * math.log(float(lam)) - lam - LOGFACT[k]
 
 
+def c_log(x: float) -> float:
+    """C log() semantics: log(0) = -inf, log(<0) = NaN (no exception)."""
+    if x > 0.0:
+        return math.log(x)
+    if x == 0.0:
+        return float("-inf")
+    return float("nan")
+
+
 def logp_skellam(k: int, lam: float) -> float:
-    """prob.c:41 — -2*lambda + log(I_|k|(2*lambda))."""
-    return -2.0 * lam + math.log(bessi(abs(k), 2.0 * lam))
+    """prob.c:41 — -2*lambda + log(I_|k|(2*lambda)).
+
+    The Bessel term underflows to 0 for large |k| with small lambda —
+    C's log maps that to -inf (a legitimate 'impossible transition')."""
+    return -2.0 * lam + c_log(bessi(abs(k), 2.0 * lam))
 
 
 def logp_binom(k: int, n: int, p: float) -> float:
