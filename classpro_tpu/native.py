@@ -1,0 +1,119 @@
+"""ctypes bindings for the C++ host data plane (csrc/classpro_host.cpp).
+
+The library is compiled on demand (gcc -O3 -shared) into the package
+directory; every consumer has a pure-Python fallback, so absence of a
+compiler degrades gracefully.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "..", "csrc", "classpro_host.cpp")
+_SO = os.path.join(_HERE, "_classpro_host.so")
+
+_lock = threading.Lock()
+_lib = None
+
+
+class OutIntvl(ctypes.Structure):
+    _fields_ = [
+        ("b", ctypes.c_int32), ("e", ctypes.c_int32),
+        ("cb", ctypes.c_int32), ("ce", ctypes.c_int32),
+        ("ccb", ctypes.c_int32), ("cce", ctypes.c_int32),
+        ("is_rel", ctypes.c_int32), ("pad", ctypes.c_int32),
+        ("pe", ctypes.c_double), ("pe_o_b", ctypes.c_double),
+        ("pe_o_e", ctypes.c_double),
+    ]
+
+
+def _build() -> str:
+    src = os.path.abspath(_SRC)
+    if not os.path.exists(src):
+        raise FileNotFoundError(src)
+    cmd = ["g++", "-O3", "-march=native", "-ffp-contract=off",
+           "-shared", "-fPIC", "-o", _SO, src, "-lm"]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return _SO
+
+
+def get_lib():
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_SO) or (
+                os.path.exists(_SRC)
+                and os.path.getmtime(_SRC) > os.path.getmtime(_SO)):
+            _build()
+        lib = ctypes.CDLL(_SO)
+        lib.cp_decode_profile.restype = ctypes.c_int
+        lib.cp_decode_profile.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int]
+        lib.cp_wall_stage.restype = ctypes.c_int
+        lib.cp_wall_stage.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
+        _lib = lib
+        return lib
+
+
+def available() -> bool:
+    try:
+        get_lib()
+        return True
+    except Exception:
+        return False
+
+
+class NativeWall:
+    """Per-read wall stage (context + walls + reliable intervals) in C++."""
+
+    def __init__(self, gm):
+        self.gm = gm
+        self.lib = get_lib()
+        em = gm.emodel
+        d = gm.defaults
+        self._pe_thres = np.asarray(
+            [d.pe_thres_init_self, d.pe_thres_init_others,
+             d.pe_thres_final_self, d.pe_thres_final_others])
+        self._lmax = np.asarray(em.lmax, np.int32)
+        self._pe = np.ascontiguousarray(em.pe)
+        self._cthres = np.ascontiguousarray(em.cthres.astype(np.int16))
+        self._lmaxp1 = em.pe.shape[1]
+        self._out = (OutIntvl * 65536)()
+        self._nrel = ctypes.c_int(0)
+
+    def wall_stage(self, seq: bytes, profile: np.ndarray):
+        """Returns structured numpy view over the interval records + n_rel."""
+        gm = self.gm
+        prof = np.ascontiguousarray(profile, dtype=np.uint16)
+        n = self.lib.cp_wall_stage(
+            gm.kmer, gm.cmax, int(gm.cov[2]), gm.read_len,
+            gm.defaults.max_n_hc, gm.defaults.min_cnt_change,
+            gm.defaults.max_cnt_change,
+            self._pe_thres.ctypes.data, gm.defaults.thres_diff_eo,
+            gm.defaults.thres_diff_rel, gm.emodel.hc_erate,
+            self._lmax.ctypes.data, self._lmaxp1,
+            self._pe.ctypes.data, self._cthres.ctypes.data,
+            seq, len(seq), prof.ctypes.data, len(prof),
+            self._out, 65536, ctypes.byref(self._nrel))
+        if n < 0:
+            raise RuntimeError("interval capacity exceeded")
+        arr = np.frombuffer(self._out, dtype=np.dtype([
+            ("b", "<i4"), ("e", "<i4"), ("cb", "<i4"), ("ce", "<i4"),
+            ("ccb", "<i4"), ("cce", "<i4"), ("is_rel", "<i4"), ("pad", "<i4"),
+            ("pe", "<f8"), ("pe_o_b", "<f8"), ("pe_o_e", "<f8")]),
+            count=n)
+        return arr.copy(), int(self._nrel.value)

@@ -33,7 +33,6 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from classpro_tpu.tpu.mathx import exp64, log64
 from classpro_tpu.tpu.skellam_dev import logp_skellam_dev
 
 ERROR, REPEAT, HAPLO, DIPLO, N_STATE = 0, 1, 2, 3, 4
@@ -152,8 +151,9 @@ def rel_dp_pass(intvl_b, intvl_e, intvl_ccb, intvl_cce, intvl_pe, m, plen,
     st_cnt = st_cnt.at[:, DIPLO, DIPLO].set(ecnt0)
 
     dp0 = jnp.stack([dpE, dpR, dpH, dpD], axis=1)
-    psum0 = jnp.sum(exp64(dp0), axis=1, keepdims=True)
-    dp0 = log64(exp64(dp0) / psum0)
+    mx0 = jnp.max(dp0, axis=1, keepdims=True)
+    dp0 = dp0 - (mx0 + jnp.log(jnp.sum(jnp.exp(dp0 - mx0), axis=1,
+                                       keepdims=True)))
 
     z2 = jnp.zeros((B, 4, 2), jnp.int64)
     f4 = jnp.zeros((B, 4), bool)
@@ -211,15 +211,31 @@ def rel_dp_pass(intvl_b, intvl_e, intvl_ccb, intvl_cce, intvl_pe, m, plen,
                             bcnt[:, None], std_c, P)
 
         logp_st = jnp.stack([logpE, logpR, logpH, logpD], axis=2)
-        prob = exp64(logp_st)
-        prob = jnp.where((dp == NEG_INF)[:, :, None], 0.0, prob)
-        psum = jnp.sum(prob, axis=(1, 2))
-        zero = psum == 0.0  # DEBUG fallback (class_rel.c:325-333)
-        prob = jnp.where(zero[:, None, None],
-                         jnp.where(jnp.arange(4)[None, None, :] == ERROR,
-                                   1.0, 0.0), prob)
-        psum = jnp.where(zero, 4.0, psum)
-        logp_tr = log64(prob / psum[:, None, None])
+        # Joint normalization over all 16 (s,t) entries (class_rel.c:321-336),
+        # reformulated in log space (the target TPU's f64 emulation has f32
+        # *range*, so probabilities may not be materialized):
+        #   logp_tr = lp - logsumexp(live lp)
+        # with the reference's exact special cases reproduced:
+        #   * dead predecessors contribute probability 0 -> -inf entries
+        #   * psum == 0 in C (all exp underflow, lp < ~-745.13) triggers the
+        #     DEBUG fallback: every (s, ERROR) entry gets prob 1/4
+        #   * any lp == +inf in C makes psum inf: that entry becomes NaN
+        #     (log(inf/inf)) and all others -inf
+        lp = jnp.where((dp == NEG_INF)[:, :, None], NEG_INF, logp_st)
+        mx = jnp.max(lp, axis=(1, 2))
+        has_inf = jnp.isposinf(mx)
+        zero = mx < -745.13  # C: psum == 0.0
+        mx_safe = jnp.where(has_inf | zero, 0.0, mx)
+        lse = mx_safe + jnp.log(
+            jnp.sum(jnp.exp(lp - mx_safe[:, None, None]), axis=(1, 2)))
+        logp_tr = lp - lse[:, None, None]
+        logp_tr = jnp.where(
+            has_inf[:, None, None],
+            jnp.where(jnp.isposinf(lp), jnp.nan, NEG_INF), logp_tr)
+        logp_tr = jnp.where(
+            zero[:, None, None],
+            jnp.where(jnp.arange(4)[None, None, :] == ERROR,
+                      jnp.log(0.25), NEG_INF), logp_tr)
 
         # ---- only_r (class_rel.c:348-356)
         scores = dp[:, :, None] + logp_tr

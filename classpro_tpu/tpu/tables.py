@@ -43,6 +43,13 @@ class DeviceTables:
     logfact: np.ndarray      # (32768,) f64
     n_cap: int
 
+    def btg_log(self) -> np.ndarray:
+        """log of the tail table (log(0) = -inf), host-exact glibc log of
+        the exact double — identical to the reference's runtime
+        log(p_errorin(...)) values."""
+        with np.errstate(divide="ignore"):
+            return np.log(self.btg)
+
     def tree(self):
         import jax
 

@@ -15,7 +15,6 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from classpro_tpu.tpu.mathx import log64
 from classpro_tpu.tpu.skellam_dev import logp_skellam_dev
 
 ERROR, REPEAT, HAPLO, DIPLO, N_STATE = 0, 1, 2, 3, 4
@@ -27,7 +26,7 @@ class UnrelParams(NamedTuple):
     ta: jnp.ndarray
     tb: jnp.ndarray
     logfact: jnp.ndarray
-    btg: jnp.ndarray         # (R, n_cap, n_cap) binomial tail table
+    btg_log: jnp.ndarray     # (R, n_cap, n_cap) log binomial tail table
     unrel_idx: int           # erate index of 0.1
     n_cap: int
     read_len: float
@@ -120,11 +119,12 @@ def unrel_sweeps(fields, iord, n, P: UnrelParams, max_n: int):
                        P.cov_h if s == HAPLO else P.cov_d)
         return jnp.where(found, v, fb)
 
-    def btg_gather(k, nn):
-        """binom tail at the unrel 0.1 rate; clamps to table range."""
+    def btg_gather_log(k, nn):
+        """log binom tail at the unrel 0.1 rate (log precomputed on host:
+        the TPU's f64 range cannot hold sub-1e-38 probabilities)."""
         kq = jnp.clip(k, 0, P.n_cap - 1)
         nq = jnp.clip(nn, 1, P.n_cap - 1)
-        return P.btg[P.unrel_idx, nq, kq]
+        return P.btg_log[P.unrel_idx, nq, kq]
 
     def logp_e_u(idx):
         icb, ice, ipe = gat(cb, idx), gat(ce, idx), gat(pe, idx)
@@ -162,7 +162,7 @@ def unrel_sweeps(fields, iord, n, P: UnrelParams, max_n: int):
         estl = est_cov(asgn, ib, idx, s)
         # p_errorin(OTHERS, 0.1, est, cb) = btg(est - cb, est)
         l_sfe = jnp.where(estl >= icb,
-                          log64(btg_gather(estl - icb, estl)), NEG_INF)
+                          btg_gather_log(estl - icb, estl), NEG_INF)
         logp_l = jnp.maximum(jnp.maximum(l_er, l_sf), l_sfe)
         # right side
         na = gat(asgn, jnp.minimum(idx + 1, max_n - 1))
@@ -173,7 +173,7 @@ def unrel_sweeps(fields, iord, n, P: UnrelParams, max_n: int):
                          _logp_trans(ie - 1, Rb, ice, Rc, Rc, P), NEG_INF)
         estr = est_cov(asgn, ie - 1, idx, s)
         r_sfe = jnp.where(estr >= ice,
-                          log64(btg_gather(estr - ice, estr)), NEG_INF)
+                          btg_gather_log(estr - ice, estr), NEG_INF)
         logp_r_ = jnp.maximum(jnp.maximum(r_er, r_sf), r_sfe)
 
         gcov = P.cov_h if s == HAPLO else P.cov_d

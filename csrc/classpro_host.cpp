@@ -1,0 +1,767 @@
+// Host data plane: sequence context, wall detection, reliable-interval
+// selection, and FASTK profile decoding.
+//
+// This is a from-scratch C++ implementation of the wall stage semantics
+// established (and golden-verified byte-identical against the reference
+// binary) by the Python oracle in classpro_tpu/exact/.  Reference
+// citations refer to /root/reference/src for behavioral parity:
+//   context:   context.c:8-108
+//   walls:     wall.c:246-958
+//   intervals: wall.c:960-1051
+//   decode:    libfastk.c:1464-1534
+//
+// Exposed via a C ABI for ctypes (classpro_tpu/native.py).  All floating
+// point follows C double semantics (this is the same libm the reference
+// links, so values are bit-identical to the oracle).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int MAX_KMER_CNT = 32767;
+constexpr double NEG_INF = -INFINITY;
+
+// ---------------------------------------------------------------------
+// numerics (semantics of prob.c / bessel.c / util.c; fresh implementation)
+// ---------------------------------------------------------------------
+
+static double g_logfact[MAX_KMER_CNT + 1];
+
+static void init_logfact() {
+  static bool done = false;
+  if (done) return;
+  g_logfact[0] = 0.0;
+  for (int n = 1; n <= MAX_KMER_CNT; n++)
+    g_logfact[n] = g_logfact[n - 1] + std::log((double)n);
+  done = true;
+}
+
+static inline int clamp_cnt(int n) { return n > MAX_KMER_CNT ? MAX_KMER_CNT : n; }
+
+static double nr_bessi0(double x) {
+  double ax = std::fabs(x);
+  if (ax < 3.75) {
+    double y = x / 3.75;
+    y *= y;
+    return 1.0 + y * (3.5156229 + y * (3.0899424 + y * (1.2067492 +
+           y * (0.2659732 + y * (0.360768e-1 + y * 0.45813e-2)))));
+  }
+  double y = 3.75 / ax;
+  return (std::exp(ax) / std::sqrt(ax)) * (0.39894228 + y * (0.1328592e-1 +
+         y * (0.225319e-2 + y * (-0.157565e-2 + y * (0.916281e-2 +
+         y * (-0.2057706e-1 + y * (0.2635537e-1 + y * (-0.1647633e-1 +
+         y * 0.392377e-2))))))));
+}
+
+static double nr_bessi1(double x) {
+  double ax = std::fabs(x), ans;
+  if (ax < 3.75) {
+    double y = x / 3.75;
+    y *= y;
+    ans = ax * (0.5 + y * (0.87890594 + y * (0.51498869 + y * (0.15084934 +
+          y * (0.2658733e-1 + y * (0.301532e-2 + y * 0.32411e-3))))));
+  } else {
+    double y = 3.75 / ax;
+    ans = 0.2282967e-1 + y * (-0.2895312e-1 + y * (0.1787654e-1 -
+          y * 0.420059e-2));
+    ans = 0.39894228 + y * (-0.3988024e-1 + y * (-0.362018e-2 +
+          y * (0.163801e-2 + y * (-0.1031555e-1 + y * ans))));
+    ans *= std::exp(ax) / std::sqrt(ax);
+  }
+  return x < 0.0 ? -ans : ans;
+}
+
+static double nr_bessi(int n, double x) {
+  if (n == 0) return nr_bessi0(x);
+  if (n == 1) return nr_bessi1(x);
+  if (x == 0.0) return 0.0;
+  const double tox = 2.0 / std::fabs(x);
+  double bip = 0.0, ans = 0.0, bi = 1.0;
+  for (int j = 2 * (n + (int)std::sqrt(40.0 * n)); j > 0; j--) {
+    double bim = bip + j * tox * bi;
+    bip = bi;
+    bi = bim;
+    if (std::fabs(bi) > 1.0e10) {
+      ans *= 1.0e-10;
+      bi *= 1.0e-10;
+      bip *= 1.0e-10;
+    }
+    if (j == n) ans = bip;
+  }
+  ans *= nr_bessi0(x) / bi;
+  return (x < 0.0 && (n & 1)) ? -ans : ans;
+}
+
+static inline double logp_skellam(int k, double lam) {
+  return -2.0 * lam + std::log(nr_bessi(std::abs(k), 2.0 * lam));
+}
+
+static inline double logp_binom_pre(int k, int n, double lpe, double l1mpe) {
+  return g_logfact[n] - g_logfact[k] - g_logfact[n - k] + k * lpe +
+         (n - k) * l1mpe;
+}
+
+// one-sided binomial tail with early-exit approximation (prob.c:76-112
+// semantics: loop order determines rounding)
+static double binom_tail(int k, int n, double pe, bool exact) {
+  k = clamp_cnt(k);
+  n = clamp_cnt(n);
+  const double lpe = std::log(pe), l1mpe = std::log(1 - pe);
+  const double mean = n * pe;
+  double p, p_first, p_curr;
+  if ((double)k >= mean) {
+    p = p_first = std::exp(logp_binom_pre(k, n, lpe, l1mpe));
+    for (int x = k + 1; x <= n; x++) {
+      p += p_curr = std::exp(logp_binom_pre(x, n, lpe, l1mpe));
+      if (!exact && 10 * p_curr < p_first) break;
+    }
+    return p;
+  }
+  p = p_first = (k == 0) ? 0.0 : std::exp(logp_binom_pre(k - 1, n, lpe, l1mpe));
+  for (int x = k - 2; x >= 0; x--) {
+    p += p_curr = std::exp(logp_binom_pre(x, n, lpe, l1mpe));
+    if (!exact && 10 * p_curr < p_first) break;
+  }
+  return 1 - p;
+}
+
+enum { SELF = 0, OTHERS = 1 };
+enum { DROP = 0, GAIN = 1 };
+enum { TINIT = 0, TFINAL = 1 };
+
+static inline double p_errorin(int e, double erate, int cout, int cin) {
+  return binom_tail(e == SELF ? cin : cout - cin, cout, erate, false);
+}
+
+// ---------------------------------------------------------------------
+// model parameters (mirror of estimation.GlobalModel + Defaults)
+// ---------------------------------------------------------------------
+
+struct Model {
+  int K;
+  int cmax;        // GLOBAL_COV[REPEAT]
+  int cov_h;       // GLOBAL_COV[HAPLO]
+  int read_len;
+  int max_n_hc;
+  int min_cnt_change;
+  int max_cnt_change;
+  double pe_thres[2][2];   // [ThresT][Etype]
+  double thres_diff_eo;
+  double thres_diff_rel;
+  double hc_erate;
+  int lmax[3];
+  int lmaxp1;              // stride of pe rows
+  const double* pe;        // [3][lmaxp1]
+  const int16_t* cthres;   // [3][lmaxp1][cmax][2][2]
+  double logpthres_final_self;
+};
+
+static inline int16_t cthres_at(const Model& M, int t, int l, int cout,
+                                int s, int e) {
+  return M.cthres[(((t * M.lmaxp1 + l) * M.cmax + cout) * 2 + s) * 2 + e];
+}
+
+static inline bool cthres_ng(int e, int cin, int ct) {
+  return e == SELF ? cin >= ct : cin < ct;
+}
+
+// ---------------------------------------------------------------------
+// sequence context (same recurrences as classpro_tpu/context.py)
+// ---------------------------------------------------------------------
+
+static void seq_context(const char* s, int rlen, uint8_t* lctx, uint8_t* rctx) {
+  // lctx/rctx are (rlen, 3) row-major, zero-initialized by caller
+  auto L = [&](int i, int t) -> uint8_t& { return lctx[i * 3 + t]; };
+  auto R = [&](int i, int t) -> uint8_t& { return rctx[i * 3 + t]; };
+  L(0, 0) = 1;
+  const int rlenm1 = rlen - 1;
+  int in_ds = 0, in_ts = 0;
+  for (int i = 1; i < rlen; i++) {
+    const int in_hp = s[i - 1] == s[i];
+    in_ds = in_ts = 0;
+    if (in_hp) {
+      L(i, 0) = (uint8_t)std::min<int>(L(i - 1, 0) + 1, 127);
+      L(i, 1) = R(i - 1, 1) = 0;
+    } else {
+      L(i, 0) = 1;
+      L(i, 1) = R(i - 1, 1) = 1;
+      for (int j = i - L(i - 1, 0), n = 0; j < i; j++, n++)
+        R(j, 0) = L(i - 1 - n, 0);
+      if (i >= 3 && s[i - 3] == s[i - 1] && s[i - 2] == s[i]) {
+        L(i, 1) = (uint8_t)std::min<int>(L(i - 2, 1) + 1, 127);
+        in_ds = 1;
+      }
+    }
+    if (!in_ds) {
+      int l = i - 1;
+      while (L(l, 1) > 1) l--;
+      if (l < i - 1)
+        for (int j = l - 1, n = 0; j < i; j++, n++)
+          R(j - 1, 1) = L(i - 1 - n, 1);
+    }
+    if (i >= 2) {
+      if (in_hp && s[i - 2] == s[i - 1])
+        L(i, 2) = R(i - 2, 2) = 0;
+      else if (i >= 5 && s[i - 5] == s[i - 2] && s[i - 4] == s[i - 1] &&
+               s[i - 3] == s[i]) {
+        L(i, 2) = (uint8_t)std::min<int>(L(i - 3, 2) + 1, 127);
+        in_ts = 1;
+      } else
+        L(i, 2) = R(i - 1, 2) = R(i - 2, 2) = 1;
+      if (!in_ts) {
+        int l = i - 1;
+        while (L(l, 2) > 1) l--;
+        if (l < i - 1)
+          for (int j = l - 2, n = 0; j < i; j++, n++)
+            R(j - 2, 2) = L(i - 1 - n, 2);
+      }
+    }
+  }
+  for (int j = rlen - L(rlenm1, 0), n = 0; j < rlen; j++, n++)
+    R(j, 0) = L(rlenm1 - n, 0);
+  if (in_ds) {
+    int l = rlenm1;
+    while (L(l, 1) > 1) l--;
+    if (l < rlenm1)
+      for (int j = l - 1, n = 0; j < rlen; j++, n++)
+        R(j - 1, 1) = L(rlenm1 - n, 1);
+  }
+  if (in_ts) {
+    int l = rlenm1;
+    while (L(l, 2) > 1) l--;
+    if (l < rlenm1)
+      for (int j = l - 2, n = 0; j < rlen; j++, n++)
+        R(j - 2, 2) = L(rlenm1 - n, 2);
+  }
+  R(rlenm1, 1) = R(rlenm1, 2) = R(rlen - 2, 2) = 0;
+}
+
+// ---------------------------------------------------------------------
+// wall detection (mirror of classpro_tpu/exact/wall.py WallFinder)
+// ---------------------------------------------------------------------
+
+struct EIntvl { int b, e; double pe; };
+
+struct Workspace {
+  std::vector<uint8_t> wall;
+  std::vector<double> perror;  // (plen+1) x 2 x 2
+  std::vector<EIntvl> eintvl, ointvl;
+  std::vector<uint8_t> lctx, rctx;
+};
+
+struct OutIntvl {
+  int32_t b, e, cb, ce, ccb, cce, is_rel, pad;
+  double pe, pe_o_b, pe_o_e;
+};
+
+class WallWalk {
+ public:
+  WallWalk(const Model& M, const uint16_t* prof, int plen,
+           const uint8_t* lctx, const uint8_t* rctx, Workspace& ws)
+      : M_(M), prof_(prof), plen_(plen), lctx_(lctx), rctx_(rctx), ws_(ws) {}
+
+  // ctx accessors: DROP -> lctx[i+K-2], GAIN -> rctx[i]
+  inline int ctx(int w, int i, int t) const {
+    return w == DROP ? lctx_[(i + M_.K - 2) * 3 + t] : rctx_[i * 3 + t];
+  }
+
+  inline double& perr(int i, int e, int w) {
+    return ws_.perror[(i * 2 + e) * 2 + w];
+  }
+
+  inline double logp_trans(int b, int e, int cb, int ce, int cov) const {
+    return logp_skellam(ce - cb, (double)cov * std::abs(e - b) / M_.read_len);
+  }
+
+  inline double logp_diff_pair(int i, int j) const {
+    int nd = (int)prof_[i - 1] - prof_[i];
+    int ng = (int)prof_[j] - prof_[j - 1];
+    int cov = std::max<int>(prof_[i - 1], prof_[j]);
+    return logp_trans(i, j, nd, ng, cov);
+  }
+
+  inline void update_perror(int i, int e, int w, int cout, int cin,
+                            double erate) {
+    if (perr(i, e, w) == NEG_INF) perr(i, e, w) = p_errorin(e, erate, cout, cin);
+  }
+
+  bool find_gain(int i, int cout, int cin, int e, int t, int l, double erate,
+                 EIntvl& out) {
+    const int ipk = i + M_.K - 1, ulen = t + 1;
+    int max_j = -1;
+    double max_pe = NEG_INF, pe;
+    int m = ulen * l, n = 0;
+    while (true) {
+      int idx = i + ulen * (n + 1);
+      if (idx >= plen_ || ctx(DROP, idx, t) != m + n + 1) break;
+      n++;
+    }
+    int j = ipk + n - m;
+    if (j <= i) return false;
+    if (j >= plen_) {
+      j = plen_;
+      pe = perr(i, e, DROP) * perr(i, e, DROP);
+    } else {
+      int cin_j = prof_[j - 1], cout_j = prof_[j];
+      pe = NEG_INF;
+      if (cin_j <= cout_j &&
+          !(cout_j < M_.cmax &&
+            cthres_ng(e, cin_j, cthres_at(M_, t, l, cout_j, TFINAL, e))) &&
+          (e == SELF || logp_diff_pair(i, j) >= M_.thres_diff_eo)) {
+        update_perror(j, e, GAIN, cout_j, cin_j, erate);
+        pe = perr(i, e, DROP) * perr(j, e, GAIN);
+      }
+    }
+    if (max_pe < pe) { max_j = j; max_pe = pe; }
+    for (int nn = 0; nn <= M_.max_n_hc; nn++) {
+      j = ipk + nn;
+      if (j >= plen_) break;
+      int cin_j = prof_[j - 1], cout_j = prof_[j];
+      if (!(cin_j <= cout_j)) continue;
+      if ((cout < M_.cmax &&
+           cthres_ng(e, cin, cthres_at(M_, 0, 1, cout, TFINAL, e))) ||
+          (cout_j < M_.cmax &&
+           cthres_ng(e, cin_j, cthres_at(M_, 0, 1, cout_j, TFINAL, e))))
+        continue;
+      if (e == OTHERS && logp_diff_pair(i, j) < M_.thres_diff_eo) continue;
+      double pe_i = p_errorin(e, M_.hc_erate, cout, cin);
+      double pe_j = p_errorin(e, M_.hc_erate, cout_j, cin_j);
+      pe = pe_i * pe_j;
+      if (max_pe < pe) { max_j = j; max_pe = pe; }
+    }
+    if (max_j == -1) return false;
+    out = {i, max_j, max_pe};
+    return true;
+  }
+
+  bool find_drop(int i, int cout, int cin, int e, int t, int l, double erate,
+                 EIntvl& out) {
+    const int imk = i - M_.K + 1, ulen = t + 1;
+    int max_j = -1;
+    double max_pe = NEG_INF, pe;
+    int m = ulen * l, n = 0;
+    while (true) {
+      int idx = i - ulen * (n + 1);
+      if (idx <= 0 || ctx(GAIN, idx, t) != m + n + 1) break;
+      n++;
+    }
+    int j = imk - n + m;
+    if (j >= i) return false;
+    if (j <= 0) {
+      j = 0;
+      pe = perr(i, e, GAIN) * perr(i, e, GAIN);
+    } else {
+      int cout_j = prof_[j - 1], cin_j = prof_[j];
+      pe = NEG_INF;
+      if (cin_j <= cout_j &&
+          !(cout_j < M_.cmax &&
+            cthres_ng(e, cin_j, cthres_at(M_, t, l, cout_j, TFINAL, e))) &&
+          (e == SELF || logp_diff_pair(j, i) >= M_.thres_diff_eo)) {
+        update_perror(j, e, DROP, cout_j, cin_j, erate);
+        pe = perr(j, e, DROP) * perr(i, e, GAIN);
+      }
+    }
+    if (max_pe < pe) { max_j = j; max_pe = pe; }
+    for (int nn = 0; nn <= M_.max_n_hc; nn++) {
+      j = imk - nn;
+      if (j <= 0) break;
+      int cout_j = prof_[j - 1], cin_j = prof_[j];
+      if (!(cin_j <= cout_j)) continue;
+      if ((cout < M_.cmax &&
+           cthres_ng(e, cin, cthres_at(M_, 0, 1, cout, TFINAL, e))) ||
+          (cout_j < M_.cmax &&
+           cthres_ng(e, cin_j, cthres_at(M_, 0, 1, cout_j, TFINAL, e))))
+        continue;
+      if (e == OTHERS && logp_diff_pair(j, i) < M_.thres_diff_eo) continue;
+      double pe_i = p_errorin(e, M_.hc_erate, cout, cin);
+      double pe_j = p_errorin(e, M_.hc_erate, cout_j, cin_j);
+      pe = pe_i * pe_j;
+      if (max_pe < pe) { max_j = j; max_pe = pe; }
+    }
+    if (max_j == -1) return false;
+    out = {max_j, i, max_pe};
+    return true;
+  }
+
+  // wall bitmask bits
+  static constexpr uint8_t W_BY[2] = {0x01, 0x10};
+  static constexpr uint8_t P_BY[2] = {0x02, 0x20};
+  static constexpr uint8_t P_MULT = 0x40;
+  static constexpr uint8_t ERRB = 0x80;
+
+  int run(OutIntvl* out, int out_cap) {
+    auto& wall = ws_.wall;
+    auto& eintvl = ws_.eintvl;
+    auto& ointvl = ws_.ointvl;
+    wall.assign(plen_ + 1, 0);
+    ws_.perror.assign((plen_ + 1) * 4, NEG_INF);
+    eintvl.clear();
+    ointvl.clear();
+
+    for (int i = 1; i < plen_; i++) {
+      int cim1 = prof_[i - 1], ci = prof_[i];
+      if (std::min(cim1, ci) >= M_.cmax) continue;
+      int cng = std::abs(cim1 - ci);
+      if (cng < M_.min_cnt_change) continue;
+      int wtype, cin, cout;
+      if (cim1 > ci) { wtype = DROP; cin = ci; cout = cim1; }
+      else { wtype = GAIN; cin = cim1; cout = ci; }
+
+      int maxt = -1, maxl = -1;
+      double maxpe = NEG_INF;
+      for (int t = 0; t < 3; t++) {
+        int l = std::min(ctx(wtype, i, t), M_.lmax[t]);
+        double pev = M_.pe[t * M_.lmaxp1 + l];
+        if (maxpe < pev) { maxpe = pev; maxt = t; maxl = l; }
+      }
+
+      for (int e = SELF; e <= OTHERS; e++) {
+        if (wall[i] & P_BY[e]) continue;
+        int ct_init = 0, ct_final = 0;
+        if (cout < M_.cmax) {
+          ct_init = cthres_at(M_, maxt, maxl, cout, TINIT, e);
+          ct_final = cthres_at(M_, maxt, maxl, cout, TFINAL, e);
+          if (!(cng > M_.max_cnt_change || cin < std::max(ct_init, 3)))
+            continue;
+        }
+        if (e == SELF) {
+          if (cout < M_.cmax && cin >= ct_final) continue;
+          update_perror(i, e, wtype, cout, cin, maxpe);
+          if (perr(i, e, wtype) < M_.pe_thres[TFINAL][e]) continue;
+          EIntvl I;
+          bool ok = (wtype == DROP)
+                        ? find_gain(i, cout, cin, e, maxt, maxl, maxpe, I)
+                        : find_drop(i, cout, cin, e, maxt, maxl, maxpe, I);
+          if (ok && I.pe >= M_.pe_thres[TFINAL][e]) {
+            wall[I.b] |= W_BY[e] | P_BY[e];
+            wall[I.e] |= W_BY[e] | P_BY[e];
+            eintvl.push_back(I);
+          }
+        } else {
+          if (cng >= M_.cov_h || (cout < M_.cmax && cin < ct_final)) {
+            wall[i] |= W_BY[OTHERS];
+            continue;
+          }
+          update_perror(i, e, wtype, cout, cin, maxpe);
+          if (perr(i, e, wtype) < M_.pe_thres[TFINAL][e]) {
+            wall[i] |= W_BY[OTHERS];
+            continue;
+          }
+          EIntvl I;
+          bool ok = (wtype == DROP)
+                        ? find_gain(i, cout, cin, e, maxt, maxl, maxpe, I)
+                        : find_drop(i, cout, cin, e, maxt, maxl, maxpe, I);
+          if (ok && I.pe >= M_.pe_thres[TFINAL][e]) {
+            wall[I.b] |= P_BY[e];
+            wall[I.e] |= P_BY[e];
+            ointvl.push_back(I);
+            continue;
+          }
+          wall[i] |= W_BY[OTHERS];
+        }
+      }
+    }
+
+    for (auto& I : ointvl) {
+      wall[I.b] &= (uint8_t)~W_BY[OTHERS];
+      wall[I.e] &= (uint8_t)~W_BY[OTHERS];
+    }
+    for (auto& I : eintvl)
+      for (int j = I.b + 1; j < I.e; j++) wall[j] &= (uint8_t)~W_BY[OTHERS];
+
+    // stable sort by (b, e); dedupe keeping first
+    std::stable_sort(eintvl.begin(), eintvl.end(),
+                     [](const EIntvl& a, const EIntvl& b) {
+                       return a.b != b.b ? a.b < b.b : a.e < b.e;
+                     });
+    {
+      size_t w = 0;
+      for (size_t i2 = 0; i2 < eintvl.size(); i2++) {
+        if (w > 0 && eintvl[w - 1].b == eintvl[i2].b &&
+            eintvl[w - 1].e == eintvl[i2].e)
+          continue;
+        eintvl[w++] = eintvl[i2];
+      }
+      eintvl.resize(w);
+    }
+    int NS = (int)eintvl.size();
+
+    // multi-error & boundary E-intvls (wall.c:759-860 semantics)
+    for (int i = 1; i < plen_; i++) {
+      if (!((wall[i] & W_BY[OTHERS]) && !(wall[i] & W_BY[SELF]))) continue;
+      if (wall[i] & P_MULT) continue;
+      for (int w = DROP; w <= GAIN; w++) {
+        double pe_i = perr(i, SELF, w);
+        if (pe_i < M_.pe_thres[TFINAL][SELF]) continue;
+        if (w == DROP) {
+          int jmax = std::min(i + 200, plen_ + 1);
+          for (int j = i + 1; j < jmax; j++) {
+            if (j == plen_) {
+              double pe = pe_i * pe_i;
+              if (pe < M_.pe_thres[TFINAL][SELF]) continue;
+              eintvl.push_back({i, plen_, pe});
+              wall[i] |= P_MULT;
+            }
+            if (!(wall[j] & (W_BY[SELF] | W_BY[OTHERS]))) continue;
+            if (bs_eintvl(NS, i, j) == -1) {
+              double pe = pe_i * perr(j, SELF, GAIN);
+              if (pe >= M_.pe_thres[TFINAL][SELF]) {
+                eintvl.push_back({i, j, pe});
+                wall[i] |= P_MULT;
+                wall[j] |= P_MULT;
+              }
+            }
+            if (wall[j] & W_BY[OTHERS]) break;
+          }
+        } else {
+          int jmin = std::max(i - 200, 0);
+          for (int j = i - 1; j >= jmin; j--) {
+            if (j == 0) {
+              double pe = pe_i * pe_i;
+              if (pe < M_.pe_thres[TFINAL][SELF]) continue;
+              eintvl.push_back({0, i, pe});
+              wall[i] |= P_MULT;
+            }
+            if (!(wall[j] & (W_BY[SELF] | W_BY[OTHERS]))) continue;
+            if (bs_eintvl(NS, j, i) == -1) {
+              double pe = pe_i * perr(j, SELF, DROP);
+              if (pe >= M_.pe_thres[TFINAL][SELF]) {
+                eintvl.push_back({j, i, pe});
+                wall[i] |= P_MULT;
+                wall[j] |= P_MULT;
+              }
+            }
+            if (wall[j] & W_BY[OTHERS]) break;
+          }
+        }
+      }
+    }
+
+    for (size_t k = NS; k < eintvl.size(); k++)
+      for (int j = eintvl[k].b + 1; j < eintvl[k].e; j++)
+        wall[j] &= (uint8_t)~W_BY[OTHERS];
+    if ((int)eintvl.size() > NS)
+      std::stable_sort(eintvl.begin(), eintvl.end(),
+                       [](const EIntvl& a, const EIntvl& b) {
+                         return a.b != b.b ? a.b < b.b : a.e < b.e;
+                       });
+
+    // merge overlapping chains; originals kept (wall.c:877-908)
+    {
+      size_t i2 = 0;
+      while (i2 + 1 < eintvl.size()) {
+        int max_e = eintvl[i2].e;
+        double max_pe = eintvl[i2].pe;
+        size_t j = i2;
+        while (j + 1 < eintvl.size()) {
+          if (eintvl[j + 1].b <= eintvl[j].e) {
+            max_e = std::max(max_e, eintvl[j + 1].e);
+            max_pe = std::max(max_pe, eintvl[j + 1].pe);
+            j++;
+          } else
+            break;
+        }
+        if (i2 < j) eintvl.push_back({eintvl[i2].b, max_e, max_pe});
+        i2 = j + 1;
+      }
+    }
+    std::stable_sort(eintvl.begin(), eintvl.end(),
+                     [](const EIntvl& a, const EIntvl& b) {
+                       return a.b != b.b ? a.b < b.b : a.e < b.e;
+                     });
+    NS = (int)eintvl.size();
+
+    for (auto& I : eintvl)
+      for (int j = I.b; j < I.e; j++) wall[j] |= ERRB;
+
+    // emit intervals (wall.c:921-948)
+    int N = 0, b = 0;
+    for (int i = 1; i <= plen_; i++) {
+      bool boundary =
+          i == plen_ || ((wall[i - 1] & ERRB) != 0) != ((wall[i] & ERRB) != 0) ||
+          (!(wall[i] & ERRB) && (wall[i] & W_BY[OTHERS]));
+      if (!boundary) continue;
+      int e = i;
+      if (N >= out_cap) return -1;
+      int idx = bs_eintvl(NS, b, e);
+      double peob = std::max(perr(b, OTHERS, DROP), perr(b, OTHERS, GAIN));
+      double peoe = std::max(perr(e, OTHERS, DROP), perr(e, OTHERS, GAIN));
+      OutIntvl& O = out[N];
+      O.b = b;
+      O.e = e;
+      O.cb = prof_[b];
+      O.ce = prof_[e - 1];
+      O.ccb = O.cce = 0;
+      O.is_rel = 0;
+      O.pe = idx != -1 ? std::log(eintvl[idx].pe) : NEG_INF;
+      O.pe_o_b = peob != NEG_INF ? std::log(peob) : NEG_INF;
+      O.pe_o_e = peoe != NEG_INF ? std::log(peoe) : NEG_INF;
+      N++;
+      b = e;
+    }
+    return N;
+  }
+
+  int bs_eintvl(int ns, int b, int e) const {
+    int l = 0, r = ns - 1;
+    const auto& v = ws_.eintvl;
+    while (l <= r) {
+      int m = (l + r) / 2;
+      if (v[m].b == b) {
+        if (v[m].e == e) return m;
+        if (e > v[m].e) l = m + 1; else r = m - 1;
+      } else if (b > v[m].b) l = m + 1;
+      else r = m - 1;
+    }
+    return -1;
+  }
+
+  // wall.c:960-1013 (with the position-indexed clamp's effective remnant)
+  void correct_wall_cnt(OutIntvl* iv, int i) {
+    OutIntvl& I = iv[i];
+    const int K = M_.K;
+    int n_gain = 0;
+    int last = std::min(I.b + K - 1, I.e - 1);
+    for (int p = I.b; p < last; p++)
+      n_gain += std::max((int)prof_[p + 1] - prof_[p], 0);
+    if (I.b + K - 1 < I.e) {
+      int lmx = 0;
+      for (int t = 0; t < 3; t++)
+        lmx = std::max(lmx, ctx(GAIN, I.b + K - 1, t) * (t + 1));
+      last = std::min(I.b + lmx, plen_ - 1);
+      for (int p = I.b; p < last; p++)
+        n_gain -= std::max((int)prof_[p] - prof_[p + 1], 0);
+    }
+    int n_drop = 0;
+    int first = std::max(I.e - K + 1, I.b);
+    for (int p = first; p < I.e - 1; p++)
+      n_drop += std::max((int)prof_[p] - prof_[p + 1], 0);
+    if (I.b < I.e - K + 1) {
+      int lmx = 0;
+      for (int t = 0; t < 3; t++)
+        lmx = std::max(lmx, ctx(DROP, I.e - K + 1, t) * (t + 1));
+      first = std::max(I.e - lmx, 0);
+      for (int p = first; p < I.e - 1; p++)
+        n_drop -= std::max((int)prof_[p + 1] - prof_[p], 0);
+    }
+    I.ccb = std::min(I.cb + std::max(n_gain, 0), MAX_KMER_CNT);
+    I.cce = std::min(I.ce + std::max(n_drop, 0), MAX_KMER_CNT);
+    if (I.b <= i && i < std::min(I.b + 2 * K, (int)I.e) && I.ccb < prof_[i])
+      I.ccb = prof_[i];
+    if (std::max(I.e - 2 * K, (int)I.b) <= i && i < I.e && I.cce < prof_[i])
+      I.cce = prof_[i];
+  }
+
+  // wall.c:1016-1051
+  int find_rel(OutIntvl* iv, int N) {
+    int Mcnt = 0;
+    for (int i = 0; i < N; i++) {
+      OutIntvl& I = iv[i];
+      if (I.e - I.b < M_.K) continue;
+      if (std::max(I.cb, I.ce) >= M_.cmax) continue;
+      if (I.pe >= M_.logpthres_final_self) continue;
+      correct_wall_cnt(iv, i);
+      if (logp_trans(I.b, I.e, I.ccb, I.cce, (I.ccb + I.cce) / 2) <
+          M_.thres_diff_rel)
+        continue;
+      if (std::max(I.ccb, I.cce) == MAX_KMER_CNT) continue;
+      I.is_rel = 1;
+      Mcnt++;
+    }
+    return Mcnt;
+  }
+
+ private:
+  const Model& M_;
+  const uint16_t* prof_;
+  int plen_;
+  const uint8_t* lctx_;
+  const uint8_t* rctx_;
+  Workspace& ws_;
+};
+
+constexpr uint8_t WallWalk::W_BY[2];
+constexpr uint8_t WallWalk::P_BY[2];
+
+thread_local Workspace g_ws;
+
+}  // namespace
+
+extern "C" {
+
+// Profile decode (libfastk.c:1464-1534 stream format)
+int cp_decode_profile(const uint8_t* buf, int64_t len, uint16_t* out,
+                      int out_cap) {
+  if (len == 0) return 0;
+  int64_t p = 0;
+  uint16_t x = buf[p++], d;
+  if (x & 0x80) d = (uint16_t)(((x & 0x7f) << 8) | buf[p++]);
+  else d = x;
+  int n = 0;
+  if (n < out_cap) out[n] = d;
+  n++;
+  while (p < len) {
+    x = buf[p++];
+    if ((x & 0xc0) == 0) {
+      for (int i = 0; i < x; i++) {
+        if (n < out_cap) out[n] = d;
+        n++;
+      }
+    } else if (x & 0x80) {
+      uint16_t v;
+      if (x & 0x40) v = (uint16_t)((x << 8) | buf[p++]);
+      else v = (uint16_t)((((x << 8) & 0x7fff)) | buf[p++]);
+      d = (uint16_t)((d + v) & 0x7fff);
+      if (n < out_cap) out[n] = d;
+      n++;
+    } else {
+      if (x & 0x20) d = (uint16_t)(d + ((x & 0x1f) | 0xffe0));
+      else d = (uint16_t)(d + (x & 0x1f));
+      if (n < out_cap) out[n] = d;
+      n++;
+    }
+  }
+  return n;
+}
+
+// Full wall stage for one read: context + walls + reliable intervals.
+// out holds OutIntvl records; returns N (or -1 if out_cap exceeded).
+int cp_wall_stage(
+    // model
+    int K, int cmax, int cov_h, int read_len, int max_n_hc,
+    int min_cnt_change, int max_cnt_change, const double* pe_thres4,
+    double thres_diff_eo, double thres_diff_rel, double hc_erate,
+    const int* lmax3, int lmaxp1, const double* pe, const int16_t* cthres,
+    // read
+    const char* seq, int rlen, const uint16_t* prof, int plen,
+    // out
+    OutIntvl* out, int out_cap, int* n_rel) {
+  init_logfact();
+  Model M;
+  M.K = K; M.cmax = cmax; M.cov_h = cov_h; M.read_len = read_len;
+  M.max_n_hc = max_n_hc; M.min_cnt_change = min_cnt_change;
+  M.max_cnt_change = max_cnt_change;
+  M.pe_thres[0][0] = pe_thres4[0]; M.pe_thres[0][1] = pe_thres4[1];
+  M.pe_thres[1][0] = pe_thres4[2]; M.pe_thres[1][1] = pe_thres4[3];
+  M.thres_diff_eo = thres_diff_eo; M.thres_diff_rel = thres_diff_rel;
+  M.hc_erate = hc_erate;
+  M.lmax[0] = lmax3[0]; M.lmax[1] = lmax3[1]; M.lmax[2] = lmax3[2];
+  M.lmaxp1 = lmaxp1; M.pe = pe; M.cthres = cthres;
+  M.logpthres_final_self = std::log(M.pe_thres[TFINAL][SELF]);
+
+  g_ws.lctx.assign(rlen * 3, 0);
+  g_ws.rctx.assign(rlen * 3, 0);
+  seq_context(seq, rlen, g_ws.lctx.data(), g_ws.rctx.data());
+
+  WallWalk W(M, prof, plen, g_ws.lctx.data(), g_ws.rctx.data(), g_ws);
+  int N = W.run(out, out_cap);
+  if (N < 0) return -1;
+  *n_rel = W.find_rel(out, N);
+  return N;
+}
+
+}  // extern "C"
