@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Benchmark: k-mers classified per second, end to end.
+
+Runs the production engine (C++ host wall stage + device DP/relaxation)
+over the committed `medium` fixture (398 reads / ~4.0M k-mers), steady
+state (one warm-up pass for compilation, then timed passes).
+
+Prints ONE JSON line:
+  {"metric": "kmers_classified_per_sec", "value": N, "unit": "kmers/s",
+   "vs_baseline": R}
+
+vs_baseline divides by the best measured reference-binary throughput on
+this machine (ClassPro -T1 on the same fixture: 4.24 Mk-mers/s — see
+BASELINE_MEASURED.md; with threads the reference is slower here).
+Correctness context: the engine's output is byte-identical to the
+reference binary's .class on the fixtures (see tests/test_golden_parity
+and tests/test_tpu_engine).
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import time
+
+BASELINE_KMERS_PER_SEC = 4.24e6  # reference ClassPro -T1, this machine
+
+def main() -> None:
+    root = pathlib.Path(__file__).parent
+    fx = root / "tests" / "fixtures" / "medium"
+
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+
+    from classpro_tpu.estimation import build_global_model
+    from classpro_tpu.io.fastk import load_histogram, open_profiles
+    from classpro_tpu.io.fastx import read_fastx
+    from classpro_tpu.tpu.engine import TpuEngine
+
+    gm = build_global_model(load_histogram(str(fx / "reads")))
+    P = open_profiles(str(fx / "reads"))
+    reads = list(read_fastx(str(fx / "reads.fasta.gz")))
+    profs = [P.fetch(i) for i in range(P.nreads)]
+    seqs = [r.seq for r in reads]
+    total_kmers = sum(len(p) for p in profs)
+
+    eng = TpuEngine(gm, batch_size=128)
+
+    def one_pass():
+        out = []
+        for i in range(0, len(seqs), eng.batch_size):
+            out += eng.classify_chunk(seqs[i:i + eng.batch_size],
+                                      profs[i:i + eng.batch_size])
+        return out
+
+    one_pass()  # warm-up / compile
+    t0 = time.time()
+    reps = 0
+    while time.time() - t0 < 10.0 or reps < 2:
+        one_pass()
+        reps += 1
+    dt = (time.time() - t0) / reps
+
+    value = total_kmers / dt
+    print(json.dumps({
+        "metric": "kmers_classified_per_sec",
+        "value": round(value),
+        "unit": "kmers/s",
+        "vs_baseline": round(value / BASELINE_KMERS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

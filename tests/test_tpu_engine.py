@@ -1,0 +1,104 @@
+"""End-to-end concordance of the production engine vs the reference golden."""
+import gzip
+import pathlib
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+import pytest
+
+FIX = pathlib.Path(__file__).parent / "fixtures"
+
+
+def _gold(fx):
+    out = []
+    with gzip.open(FIX / fx / "golden.class.gz", "rt") as f:
+        while True:
+            h = f.readline()
+            if not h:
+                break
+            s = f.readline().rstrip("\n")
+            f.readline()
+            c = f.readline().rstrip("\n")
+            out.append(c)
+    return out
+
+
+def test_engine_byte_identity_tiny_subset():
+    from classpro_tpu.estimation import build_global_model
+    from classpro_tpu.io.fastk import load_histogram, open_profiles
+    from classpro_tpu.io.fastx import read_fastx
+    from classpro_tpu.tpu.engine import TpuEngine
+
+    gold = _gold("tiny")
+    gm = build_global_model(load_histogram(str(FIX / "tiny" / "reads")))
+    P = open_profiles(str(FIX / "tiny" / "reads"))
+    reads = list(read_fastx(str(FIX / "tiny" / "reads.fasta.gz")))[:64]
+    profs = [P.fetch(i) for i in range(64)]
+    eng = TpuEngine(gm, batch_size=64)
+    out = eng.classify_chunk([r.seq for r in reads], profs)
+    nbad = sum(1 for i in range(64) if out[i] != gold[i])
+    assert nbad == 0, f"{nbad}/64 reads differ from reference golden"
+
+
+@pytest.mark.slow
+def test_engine_byte_identity_tiny_full():
+    from classpro_tpu.tpu.engine import classify_file_tpu
+
+    gold = _gold("tiny")
+    n = bad = 0
+    for rid, rec in enumerate(classify_file_tpu(
+            str(FIX / "tiny" / "reads.fasta.gz"), str(FIX / "tiny" / "reads"))):
+        n += 1
+        bad += rec.classes != gold[rid]
+    assert n == len(gold) and bad == 0
+
+
+def test_native_wall_matches_oracle_sample():
+    from classpro_tpu.context import seq_context
+    from classpro_tpu.estimation import build_global_model
+    from classpro_tpu.exact.wall import WallFinder
+    from classpro_tpu.io.fastk import load_histogram, open_profiles
+    from classpro_tpu.io.fastx import read_fastx
+    from classpro_tpu.tpu.engine import make_wall_stage, _PyWall
+
+    gm = build_global_model(load_histogram(str(FIX / "tiny" / "reads")))
+    wall = make_wall_stage(gm)
+    if isinstance(wall, _PyWall):
+        pytest.skip("no native library")
+    wf = WallFinder(gm)
+    P = open_profiles(str(FIX / "tiny" / "reads"))
+    reads = list(read_fastx(str(FIX / "tiny" / "reads.fasta.gz")))[:16]
+    for rid, rec in enumerate(reads):
+        prof = P.fetch(rid)
+        arr, nrel = wall.wall_stage(rec.seq.encode(), prof)
+        lc, rcx = seq_context(rec.seq.encode())
+        ivs = wf.find_wall(prof, lc, rcx)
+        rel = wf.find_rel_intvl(ivs)
+        assert len(arr) == len(ivs) and nrel == len(rel)
+        for a, I in zip(arr, ivs):
+            assert (a["b"], a["e"], a["cb"], a["ce"]) == (I.b, I.e, I.cb, I.ce)
+            assert bool(a["is_rel"]) == I.is_rel
+            assert a["pe"] == I.pe or (np.isinf(a["pe"]) and np.isinf(I.pe))
+
+
+def test_mathx_accuracy():
+    from classpro_tpu.tpu.mathx import np_selftest
+
+    r = np_selftest(1024)
+    assert r["exp_max_rel"] < 1e-13
+    assert r["log_max_abs"] < 1e-12
+
+
+def test_graft_entry_single_and_multichip():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert np.asarray(out).shape == (8, 4)
+    n = min(len(jax.devices()), 8)
+    if n >= 2:
+        g.dryrun_multichip(n)
