@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+from typing import NamedTuple
 
 import numpy as np
 
@@ -197,3 +198,92 @@ def logp_skellam_dev(k, lam, ta, tb, logfact):
     # orders beyond the table: treat as impossible transition
     out = jnp.where(k > NMAX, -jnp.inf, out)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Packed single-gather variant.
+#
+# TPU gathers inside device loops cost ~25ns per gathered element but only
+# ~5ns when the four interpolation nodes are fetched as one contiguous
+# 4-vector.  ``build_packed_table`` lays the two regions of the Skellam
+# table out as one (NMAX+1, NA_GRID+NB_GRID, 4) array whose [n, i] entry
+# holds the 4 Lagrange nodes around grid index i, so one gather per
+# evaluation replaces the 8 node gathers + logfact gather of the unpacked
+# path (the logfact[n] term becomes a one-hot contraction over 385 rows,
+# which is effectively free on the VPU).  Values are bit-identical to
+# ``logp_skellam_dev``: same nodes, same weight arithmetic, same special
+# cases.
+
+
+class PackedSkellam(NamedTuple):
+    tab: jnp.ndarray      # (NMAX+1, NA_GRID + NB_GRID, 4) f64 packed nodes
+    lf_n: jnp.ndarray     # (NMAX+1,) logfact restricted to table orders
+
+
+_PACKED_CACHE: dict[int, "tuple"] = {}
+
+
+def build_packed_skellam(nmax: int = NMAX):
+    """Host-side packed layout of the Skellam interpolation tables."""
+    if nmax in _PACKED_CACHE:
+        return _PACKED_CACHE[nmax]
+    st = build_skellam_tables(nmax)
+
+    def pack(tab: np.ndarray) -> np.ndarray:
+        npts = tab.shape[1]
+        idx = np.arange(npts)
+        i1 = np.clip(idx, 1, npts - 3)
+        cols = np.stack([i1 - 1, i1, i1 + 1, i1 + 2], axis=-1)  # (npts, 4)
+        return tab[:, cols]                                     # (n, npts, 4)
+
+    packed = np.concatenate([pack(st.table_a), pack(st.table_b)], axis=1)
+    out = (packed, st.logfact[: nmax + 1].copy())
+    _PACKED_CACHE[nmax] = out
+    return out
+
+
+def _interp4(nodes, f):
+    """4-point Lagrange combination, identical arithmetic to _cubic_gather."""
+    w0 = -f * (f - 1.0) * (f - 2.0) / 6.0
+    w1 = (f + 1.0) * (f - 1.0) * (f - 2.0) / 2.0
+    w2 = -(f + 1.0) * f * (f - 2.0) / 2.0
+    w3 = (f + 1.0) * f * (f - 1.0) / 6.0
+    return (w0 * nodes[..., 0] + w1 * nodes[..., 1]
+            + w2 * nodes[..., 2] + w3 * nodes[..., 3])
+
+
+def logp_skellam_packed(k, lam, ps: PackedSkellam):
+    """Bit-identical to logp_skellam_dev with ONE table gather."""
+    k = jnp.abs(jnp.asarray(k, jnp.int32))
+    lam = jnp.asarray(lam, jnp.float64)
+    x = jnp.clip(2.0 * lam, 0.0, XB_MAX)
+    n = jnp.clip(k, 0, NMAX)
+
+    pos_a = x * ((NA_GRID - 1) / XA_MAX)
+    i1a = jnp.clip(jnp.floor(pos_a).astype(jnp.int32), 1, NA_GRID - 3)
+    fa = pos_a - i1a
+    u = jnp.sqrt(x)
+    du = (math.sqrt(XB_MAX) - math.sqrt(XA_MAX)) / (NB_GRID - 1)
+    pos_b = (u - math.sqrt(XA_MAX)) / du
+    i1b = jnp.clip(jnp.floor(pos_b).astype(jnp.int32), 1, NB_GRID - 3)
+    fb = pos_b - i1b
+
+    in_a = x <= XA_MAX
+    idx = jnp.where(in_a, i1a, NA_GRID + i1b)
+    nodes = ps.tab[n, idx]                       # the single gather
+    val = _interp4(nodes, jnp.where(in_a, fa, fb))
+
+    # logfact[n] via one-hot contraction (exact selection, no gather)
+    oh = jnp.arange(NMAX + 1) == n[..., None]
+    lf_n = jnp.sum(jnp.where(oh, ps.lf_n, 0.0), axis=-1)
+
+    log_xh = jnp.where(x > 0, jnp.log(x / 2.0), -jnp.inf)
+    val_a = val + n * log_xh - lf_n
+    val_a = jnp.where((x == 0.0) & (n == 0), 0.0, val_a)
+    val_b = val + x
+    out = jnp.where(in_a, val_a, val_b)
+    out = jnp.where((x >= 709.782712893384) | (out > 709.782712893384),
+                    jnp.inf, out)
+    out = jnp.where(out < -745.13, -jnp.inf, out)
+    out = -2.0 * lam + out
+    return jnp.where(k > NMAX, -jnp.inf, out)

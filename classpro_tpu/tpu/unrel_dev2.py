@@ -1,0 +1,243 @@
+"""Batched unreliable-interval relaxation on device, v2 (ref class_unrel.c).
+
+Redesign of unrel_dev.py under the measured TPU cost model (see
+rel_dev2.py): the two relaxation sweeps remain genuinely sequential
+`lax.scan`s (later steps read earlier updates), but each step now costs
+two small gathers instead of ~30:
+
+* every *static* per-interval quantity — boundary counts/positions at
+  the processing index, its original-order neighbors' pe terms, the
+  Poisson emission terms, log-factorials — is precomputed on the HOST
+  in processing order (numpy fancy indexing is free there) and fed
+  through scan xs.  Host precompute also uses libm (np.log/np.exp),
+  exactly matching the reference's arithmetic for those terms
+  (class_unrel.c:53-64,181-183).
+* dynamic values (the evolving assignment vector, nearest-reliable-
+  neighbor searches and the values at those neighbors) are extracted
+  with masked reductions / one-hot contractions over the (B, N)
+  interval axis — no gathers.
+* the four Skellam drift terms of a step run as ONE packed-table call;
+  the four binomial-tail lookups as ONE flat gather.
+
+Semantics identical to unrel_dev.py (argmax decisions, C special
+cases); byte-identity re-verified end to end by tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from classpro_tpu.tpu.skellam_dev import PackedSkellam, logp_skellam_packed
+
+ERROR, REPEAT, HAPLO, DIPLO, N_STATE = 0, 1, 2, 3, 4
+NEG_INF = float("-inf")
+BIG = jnp.int32(1 << 30)
+
+
+class UnrelParams2(NamedTuple):
+    ps: PackedSkellam
+    lf_small: jnp.ndarray    # (n1,) logfact head (one-hot R-binomial)
+    btg_flat: jnp.ndarray    # (n_cap*n_cap,) log binom tail at erate 0.1
+    n_cap: int
+    read_len: float
+    r_logp: float
+    log_1m_pe_mean: float
+    log_pe_mean: float
+    dr_ratio: float
+    cov_r: int
+    cov_h: int
+    cov_d: int
+
+
+def _lf_oh(idx, lf_small):
+    n1 = lf_small.shape[0]
+    i = jnp.clip(idx, 0, n1 - 1)
+    oh = jnp.arange(n1) == i[..., None]
+    return jnp.sum(jnp.where(oh, lf_small, 0.0), axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("max_n",))
+def unrel_sweeps2(dyn, xs_desc, xs_asc, n, P: UnrelParams2, max_n: int):
+    """Two relaxation sweeps (class_unrel.c:248-300).
+
+    dyn: dict of (B, max_n) arrays in ORIGINAL interval order —
+      is_rel (bool), asgn (int32, N_STATE = unclassified), and the
+      value planes read at dynamic nearest-neighbor indices:
+      packL = stack(cce, e-1, ce) (B,max_n,3) and
+      packR = stack(ccb, b, cb) (B,max_n,3) — corrected counts and
+      positions for drift/coverage estimation, uncorrected ce/cb for
+      the repeat test's neighbor coverages (class_unrel.c:73-81).
+    xs_desc / xs_asc: dicts of (B, max_n) host-precomputed per-step
+      inputs in processing order — idx (int32, interval index; 0 where
+      not live), live (bool, position < n), cb, ce (i64 boundary
+      counts), lf_cb, lf_ce (logfact at those counts), x_l, x_r (f64
+      query positions ib / ie-1), lE (full E emission), po_h_b, po_h_e,
+      po_d_b, po_d_e (Poisson fallbacks at global H/D coverages),
+      peob, peoe (wall error log-probs of the interval).
+    n: (B,) interval counts.
+
+    Returns final asgn (B, max_n) int8.
+    """
+    cols = jnp.arange(max_n, dtype=jnp.int32)[None, :]
+    valid = cols < n[:, None]
+    is_rel = dyn["is_rel"] & valid
+    asgn0 = dyn["asgn"].astype(jnp.int32)
+    is_fixed = is_rel & ((asgn0 == HAPLO) | (asgn0 == DIPLO))
+
+    packL, packR = dyn["packL"], dyn["packR"]
+
+    def find_nn(asgn, idx, s):
+        """Nearest is_rel & asgn==s interval left/right of idx
+        (class_unrel.c:11-25); -1 if absent."""
+        match = is_rel & (asgn == s)
+        left = jnp.where(match & (cols < idx[:, None]), cols, -1)
+        l = jnp.max(left, axis=1)
+        right = jnp.where(match & (cols > idx[:, None]), cols, BIG)
+        r = jnp.min(right, axis=1)
+        r = jnp.where(r == BIG, -1, r)
+        return l, r
+
+    def extract2(pack, j):
+        """pack[b, j[b], :] via one-hot sum; zeros when j == -1."""
+        oh = (cols == j[:, None])[:, :, None]
+        return jnp.sum(jnp.where(oh, pack, 0.0), axis=1)       # (B, 2)
+
+    def extract_i(arr, j):
+        oh = cols == j[:, None]
+        return jnp.sum(jnp.where(oh, arr, 0), axis=1)
+
+    def step_fn(asgn, x):
+        idx = x["idx"]
+        icb, ice = x["cb"], x["ce"]
+        oh_idx = cols == idx[:, None]
+
+        # ---- nearest reliable neighbors for H and D -----------------
+        lH, rH = find_nn(asgn, idx, HAPLO)
+        lD, rD = find_nn(asgn, idx, DIPLO)
+        Lh = extract2(packL, lH)   # (cce, e-1) at left H neighbor
+        Rh = extract2(packR, rH)   # (ccb, b)   at right H neighbor
+        Ld = extract2(packL, lD)
+        Rd = extract2(packR, rD)
+
+        # ---- logp_e_u (class_unrel.c:53-64): precomputed ------------
+        lE = x["lE"]
+
+        # ---- logp_r_u (class_unrel.c:67-113): uncorrected neighbor counts
+        cov_d_f = jnp.asarray(P.cov_d, jnp.float64)
+        dl = jnp.where(lD != -1, Ld[:, 2],
+                       jnp.where(rD != -1, Rd[:, 2], cov_d_f))
+        dr = jnp.where(rD != -1, Rd[:, 2],
+                       jnp.where(lD != -1, Ld[:, 2], cov_d_f))
+        rl = (P.dr_ratio * dl).astype(jnp.int64)
+        rr = (P.dr_ratio * dr).astype(jnp.int64)
+        over = (icb >= rl) | (ice >= rr)
+
+        def binom(k, nn, lf_k):
+            return (_lf_oh(nn, P.lf_small) - lf_k
+                    - _lf_oh(nn - k, P.lf_small)
+                    + k * P.log_1m_pe_mean + (nn - k) * P.log_pe_mean)
+
+        lp_r = (binom(icb, rl, x["lf_cb"]) + binom(ice, rr, x["lf_ce"]))
+        hi = jnp.maximum(icb, ice) >= P.cov_r
+        lR = jnp.where(hi, 0.0, jnp.where(over, P.r_logp, lp_r))
+
+        # ---- est_cov (class_unrel.c:27-43) ---------------------------
+        def est_level(l, r, L, R, xq):
+            Lc, Le = L[:, 0], L[:, 1]
+            Rc, Rb = R[:, 0], R[:, 1]
+            both = (l != -1) & (r != -1)
+            interp = (Lc + (Rc - Lc) * (xq - Le) / (Rb - Le))
+            val = jnp.where(both, interp.astype(jnp.int64),
+                            jnp.where(l != -1, Lc.astype(jnp.int64),
+                                      jnp.where(r != -1, Rc.astype(jnp.int64),
+                                                0)))
+            found = (l != -1) | (r != -1)
+            return val, found
+
+        def est_cov(s, xq):
+            if s == HAPLO:
+                v, found = est_level(lH, rH, Lh, Rh, xq)
+                v2, found2 = est_level(lD, rD, Ld, Rd, xq)
+                fb = jnp.where(found2 & (v2 > 0), v2 // 2, P.cov_h)
+            else:
+                v, found = est_level(lD, rD, Ld, Rd, xq)
+                v2, found2 = est_level(lH, rH, Lh, Rh, xq)
+                fb = jnp.where(found2 & (v2 > 0), v2 * 2, P.cov_d)
+            return jnp.where(found, v, fb)
+
+        x_l = x["x_l"].astype(jnp.float64)
+        x_r = x["x_r"].astype(jnp.float64)
+
+        # ---- logp_h_u / logp_d_u (class_unrel.c:115-183) --------------
+        # batched Skellam: [H-left, H-right, D-left, D-right]
+        kk = jnp.stack([icb - Lh[:, 0].astype(jnp.int64),
+                        Rh[:, 0].astype(jnp.int64) - ice,
+                        icb - Ld[:, 0].astype(jnp.int64),
+                        Rd[:, 0].astype(jnp.int64) - ice], axis=1)
+        lamm = jnp.stack([
+            Lh[:, 0] * jnp.abs(x_l - Lh[:, 1]) / P.read_len,
+            Rh[:, 0] * jnp.abs(Rh[:, 1] - x_r) / P.read_len,
+            Ld[:, 0] * jnp.abs(x_l - Ld[:, 1]) / P.read_len,
+            Rd[:, 0] * jnp.abs(Rd[:, 1] - x_r) / P.read_len], axis=1)
+        sk = logp_skellam_packed(kk, lamm, P.ps)
+
+        # batched binomial tails: est-coverage errors-in-others terms
+        estf = jnp.stack([est_cov(HAPLO, x_l), est_cov(HAPLO, x_r),
+                          est_cov(DIPLO, x_l), est_cov(DIPLO, x_r)], axis=1)
+        cnt4 = jnp.stack([icb, ice, icb, ice], axis=1)
+        nq = jnp.clip(estf, 1, P.n_cap - 1)
+        kq = jnp.clip(estf - cnt4, 0, P.n_cap - 1)
+        tails = P.btg_flat[(nq * P.n_cap + kq).astype(jnp.int32)]
+        sfe = jnp.where(estf >= cnt4, tails, NEG_INF)
+
+        def side(s, iL, iR):
+            l_rel = lH if s == HAPLO else lD
+            r_rel = rH if s == HAPLO else rD
+            nb = extract_i(asgn, idx - 1)
+            l_er = jnp.where((idx - 1 >= 0) & (nb == s),
+                             x["peob"], NEG_INF)
+            l_sf = jnp.where(l_rel != -1, sk[:, iL], NEG_INF)
+            logp_l = jnp.maximum(jnp.maximum(l_er, l_sf), sfe[:, iL])
+            na = extract_i(asgn, jnp.minimum(idx + 1, max_n - 1))
+            r_er = jnp.where(((idx + 1) < n) & (na == s),
+                             x["peoe"], NEG_INF)
+            r_sf = jnp.where(r_rel != -1, sk[:, iR], NEG_INF)
+            logp_r_ = jnp.maximum(jnp.maximum(r_er, r_sf), sfe[:, iR])
+
+            po_b = x["po_h_b"] if s == HAPLO else x["po_d_b"]
+            po_e = x["po_h_e"] if s == HAPLO else x["po_d_e"]
+            both_inf = (logp_l == NEG_INF) & (logp_r_ == NEG_INF)
+            lp_l = jnp.where(both_inf, po_b,
+                             jnp.where(logp_l == NEG_INF, logp_r_, logp_l))
+            lp_r = jnp.where(both_inf, po_e,
+                             jnp.where(logp_r_ == NEG_INF, lp_l, logp_r_))
+            return lp_l + lp_r
+
+        lH_ = side(HAPLO, 0, 1)
+        lD_ = side(DIPLO, 2, 3)
+
+        smax = jnp.argmax(jnp.stack([lE, lR, lH_, lD_], axis=1), axis=1)
+        force_r = jnp.maximum(icb, ice) >= P.cov_r
+        new = jnp.where(force_r, REPEAT, smax).astype(jnp.int32)
+
+        fixed_at = jnp.any(oh_idx & is_fixed, axis=1)
+        active = x["live"] & ~fixed_at
+        cur = extract_i(asgn, idx)
+        upd = jnp.where(active, new, cur)
+        asgn = jnp.where(oh_idx & active[:, None], upd[:, None],
+                         asgn).astype(jnp.int32)
+        return asgn, None
+
+    def run(asgn, xs):
+        # scan over the processing axis: transpose (B, max_n) -> (max_n, B)
+        xsT = {k: v.T for k, v in xs.items()}
+        a, _ = jax.lax.scan(step_fn, asgn, xsT)
+        return a
+
+    asgn = run(asgn0, xs_desc)
+    asgn = run(asgn, xs_asc)
+    return asgn.astype(jnp.int8)
