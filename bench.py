@@ -46,7 +46,7 @@ def main() -> None:
     seqs = [r.seq for r in reads]
     total_kmers = sum(len(p) for p in profs)
 
-    eng = TpuEngine(gm, batch_size=128)
+    eng = TpuEngine(gm, batch_size=512)
 
     def one_pass():
         out = []

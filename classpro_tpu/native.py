@@ -33,11 +33,17 @@ class OutIntvl(ctypes.Structure):
     ]
 
 
+_IVDT = np.dtype([
+    ("b", "<i4"), ("e", "<i4"), ("cb", "<i4"), ("ce", "<i4"),
+    ("ccb", "<i4"), ("cce", "<i4"), ("is_rel", "<i4"), ("pad", "<i4"),
+    ("pe", "<f8"), ("pe_o_b", "<f8"), ("pe_o_e", "<f8")])
+
+
 def _build() -> str:
     src = os.path.abspath(_SRC)
     if not os.path.exists(src):
         raise FileNotFoundError(src)
-    cmd = ["g++", "-O3", "-march=native", "-ffp-contract=off",
+    cmd = ["g++", "-O3", "-march=native", "-ffp-contract=off", "-pthread",
            "-shared", "-fPIC", "-o", _SO, src, "-lm"]
     subprocess.run(cmd, check=True, capture_output=True)
     return _SO
@@ -65,6 +71,17 @@ def get_lib():
             ctypes.c_void_p,
             ctypes.c_char_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
+        lib.cp_wall_stage_batch.restype = None
+        lib.cp_wall_stage_batch.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int]
         _lib = lib
         return lib
 
@@ -111,9 +128,51 @@ class NativeWall:
             self._out, 65536, ctypes.byref(self._nrel))
         if n < 0:
             raise RuntimeError("interval capacity exceeded")
-        arr = np.frombuffer(self._out, dtype=np.dtype([
-            ("b", "<i4"), ("e", "<i4"), ("cb", "<i4"), ("ce", "<i4"),
-            ("ccb", "<i4"), ("cce", "<i4"), ("is_rel", "<i4"), ("pad", "<i4"),
-            ("pe", "<f8"), ("pe_o_b", "<f8"), ("pe_o_e", "<f8")]),
-            count=n)
+        arr = np.frombuffer(self._out, dtype=_IVDT, count=n)
         return arr.copy(), int(self._nrel.value)
+
+    def wall_stage_batch(self, seqs: list[bytes],
+                         profiles: list[np.ndarray],
+                         threads: int = 0, slot: int = 1024):
+        """Multithreaded wall stage over many reads (one native call).
+        Returns list of (interval record array, n_rel) per read; reads
+        whose interval count exceeds `slot` are retried one-by-one."""
+        import os as _os
+
+        gm = self.gm
+        n = len(seqs)
+        if n == 0:
+            return []
+        if threads <= 0:
+            threads = min(_os.cpu_count() or 1, 16)
+        seq_cat = b"".join(seqs)
+        seq_off = np.zeros(n + 1, np.int64)
+        seq_off[1:] = np.cumsum([len(s) for s in seqs])
+        prof_cat = np.ascontiguousarray(
+            np.concatenate([np.asarray(p, np.uint16) for p in profiles])
+            if n else np.zeros(0, np.uint16), np.uint16)
+        prof_off = np.zeros(n + 1, np.int64)
+        prof_off[1:] = np.cumsum([len(p) for p in profiles])
+        out = np.zeros(n * slot, dtype=_IVDT)
+        n_out = np.zeros(n, np.int32)
+        n_rel = np.zeros(n, np.int32)
+        self.lib.cp_wall_stage_batch(
+            gm.kmer, gm.cmax, int(gm.cov[2]), gm.read_len,
+            gm.defaults.max_n_hc, gm.defaults.min_cnt_change,
+            gm.defaults.max_cnt_change,
+            self._pe_thres.ctypes.data, gm.defaults.thres_diff_eo,
+            gm.defaults.thres_diff_rel, gm.emodel.hc_erate,
+            self._lmax.ctypes.data, self._lmaxp1,
+            self._pe.ctypes.data, self._cthres.ctypes.data,
+            n, seq_cat, seq_off.ctypes.data,
+            prof_cat.ctypes.data, prof_off.ctypes.data,
+            out.ctypes.data_as(ctypes.c_void_p), slot,
+            n_out.ctypes.data, n_rel.ctypes.data, threads)
+        res = []
+        for i in range(n):
+            if n_out[i] < 0:   # slot overflow: single-read retry
+                res.append(self.wall_stage(seqs[i], profiles[i]))
+            else:
+                res.append((out[i * slot: i * slot + n_out[i]].copy(),
+                            int(n_rel[i])))
+        return res

@@ -1,18 +1,26 @@
 """Single-dispatch device classification program.
 
-Every host<->device synchronisation on the target platform costs a fixed
-~30ms round trip, so the entire per-chunk classification — merged
-forward+backward reliable-interval DP (class_rel.c:623-963), conditional
+Two platform facts shape this module (measured, see rel_dev2.py):
+every host<->device synchronisation costs a fixed ~30ms round trip AND
+every individual array transfer costs ~20ms regardless of size (bulk
+bandwidth is ~1.4GB/s).  So the host ships exactly TWO 1D blobs — one
+int32, one float64 — per chunk, and the entire classification (merged
+forward+backward reliable-interval DP, class_rel.c:623-963, conditional
 rescue re-run, demotion heuristics, fw/bw reconciliation, scatter into
-the full interval layout, and both unreliable-relaxation sweeps
-(class_unrel.c:248-300) — runs as ONE jitted program returning the final
-per-interval assignment.  The host only packs inputs (wall-stage output)
-and expands the result to class strings.
+the full interval layout, and both unreliable-relaxation sweeps,
+class_unrel.c:248-300) runs as ONE jitted program returning the final
+per-interval assignment.  All derived planes (Poisson emissions,
+log-factorials, packed value tensors) are computed on device from the
+compact integer planes — the same device arithmetic the byte-validated
+v1 kernels used.
 
-The between-pass logic here is a jnp port of the numpy logic that was in
-rel_batch.py, operating on scan-ordered rows with a per-row direction
-flag; see the derivations in the function body for how anchors/hdrr map
-between scan order and original order.
+Blob layouts (sizes static per jit specialisation):
+
+  iblob (int32): b,e,cb,ce,ccb,cce,idx_desc,idx_asc,is_rel,live
+                 [10 x Bn*max_n] | n [Bn] |
+                 bpos,bcnt,epos,ecnt,max_cc [5 x R2*max_m] |
+                 rel_cols [R*max_m] | m,plen,fwd [3 x R2] | rel_rows [R]
+  fblob (f64):   pe,peob,peoe [3 x Bn*max_n] | pe_rel [R2*max_m]
 """
 
 from __future__ import annotations
@@ -68,7 +76,6 @@ def build_pipeline_params(gm: GlobalModel) -> PipelineParams:
 
 
 def _first_true(mask):
-    """(argmax, any) over axis 1."""
     return jnp.argmax(mask, axis=1), jnp.any(mask, axis=1)
 
 
@@ -81,33 +88,102 @@ def _oh_extract(arr, idx):
     return jnp.sum(jnp.where(oh, arr, 0), axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("max_m", "max_n"))
-def classify_batch_dev(rel, undyn, xs_desc, xs_asc, un_n, rel_rows,
-                       rel_cols, PP: PipelineParams, max_m: int,
-                       max_n: int):
-    """rel: dict of merged scan-ordered row arrays (2R, max_m):
-    bpos,bcnt,epos,ecnt (i64), max_cc (i64), lf_bcnt, logpE (f64), and
-    (2R,) m, plen, fwd.  Rows [0,R) forward, [R,2R) backward (same reads,
-    index-reversed).  undyn/xs_*/un_n: see unrel_sweeps2.  rel_rows:
-    (R,) int32 unrel-layout row of each rel row (out-of-range where
-    padding); rel_cols: (R, max_m) int32 unrel-layout column of each
-    reliable interval (max_n where padding).  Returns (B, max_n) int8."""
+@functools.partial(jax.jit,
+                   static_argnames=("Bn", "max_n", "R2", "max_m"))
+def classify_batch_dev(fblob, iblob, PP: PipelineParams,
+                       Bn: int, max_n: int, R2: int, max_m: int):
+    """See module docstring.  Returns final asgn (Bn, max_n) int8."""
     P = PP.rel
-    bpos, bcnt = rel["bpos"], rel["bcnt"]
-    epos, ecnt = rel["epos"], rel["ecnt"]
-    m, plen, fwd = rel["m"], rel["plen"], rel["fwd"]
-    R2 = bpos.shape[0]
     R = R2 // 2
+    lf = P.logfact
+
+    # ---------------- unpack blobs --------------------------------------
+    un_sz, rel_sz = Bn * max_n, R2 * max_m
+    o = 0
+
+    def take_i(count, shape):
+        nonlocal o
+        v = iblob[o:o + count].reshape(shape)
+        o += count
+        return v
+
+    b_u = take_i(un_sz, (Bn, max_n))
+    e_u = take_i(un_sz, (Bn, max_n))
+    cb_u = take_i(un_sz, (Bn, max_n))
+    ce_u = take_i(un_sz, (Bn, max_n))
+    ccb_u = take_i(un_sz, (Bn, max_n))
+    cce_u = take_i(un_sz, (Bn, max_n))
+    idx_desc = take_i(un_sz, (Bn, max_n))
+    idx_asc = take_i(un_sz, (Bn, max_n))
+    is_rel_u = take_i(un_sz, (Bn, max_n)) != 0
+    live_u = take_i(un_sz, (Bn, max_n)) != 0
+    n_u = take_i(Bn, (Bn,))
+    bpos = take_i(rel_sz, (R2, max_m)).astype(jnp.int64)
+    bcnt = take_i(rel_sz, (R2, max_m)).astype(jnp.int64)
+    epos = take_i(rel_sz, (R2, max_m)).astype(jnp.int64)
+    ecnt = take_i(rel_sz, (R2, max_m)).astype(jnp.int64)
+    max_cc = take_i(rel_sz, (R2, max_m)).astype(jnp.int64)
+    rel_cols = take_i(R * max_m, (R, max_m))
+    m = take_i(R2, (R2,)).astype(jnp.int64)
+    plen = take_i(R2, (R2,)).astype(jnp.int64)
+    fwd = take_i(R2, (R2,)) != 0
+    rel_rows = take_i(R, (R,))
+
+    of = 0
+
+    def take_f(count, shape):
+        nonlocal of
+        v = fblob[of:of + count].reshape(shape)
+        of += count
+        return v
+
+    pe_u = take_f(un_sz, (Bn, max_n))
+    peob_u = take_f(un_sz, (Bn, max_n))
+    peoe_u = take_f(un_sz, (Bn, max_n))
+    pe_rel = take_f(rel_sz, (R2, max_m))
+
+    # ---------------- derived planes (device, v1-kernel arithmetic) -----
+    covE = PP.gcov[ERROR]
+    covHf = PP.gcov[HAPLO].astype(jnp.float64)
+    covDf = PP.gcov[DIPLO].astype(jnp.float64)
+    covEf = covE.astype(jnp.float64)
+
+    def pois(k, lamf):
+        kc = jnp.minimum(k, lf.shape[0] - 1)
+        return kc * jnp.log(lamf) - lamf - lf[kc]
+
+    lf_cb = lf[jnp.minimum(cb_u, lf.shape[0] - 1)]
+    lf_ce = lf[jnp.minimum(ce_u, lf.shape[0] - 1)]
+    po_cb_e = cb_u * jnp.log(covEf) - covEf - lf_cb
+    po_ce_e = ce_u * jnp.log(covEf) - covEf - lf_ce
+    lE_u = jnp.maximum(pe_u, po_cb_e + po_ce_e + P.e_po_base)
+    f64 = jnp.float64
+    P13 = jnp.stack([
+        cb_u.astype(f64), ce_u.astype(f64), lf_cb, lf_ce,
+        b_u.astype(f64), (e_u - 1).astype(f64), lE_u,
+        pois(cb_u, covHf), pois(ce_u, covHf),
+        pois(cb_u, covDf), pois(ce_u, covDf),
+        peob_u, peoe_u], axis=-1)
+    packL = jnp.stack([cce_u.astype(f64), (e_u - 1).astype(f64),
+                       ce_u.astype(f64)], axis=-1)
+    packR = jnp.stack([ccb_u.astype(f64), b_u.astype(f64),
+                       cb_u.astype(f64)], axis=-1)
+
+    lf_bcnt = lf[jnp.minimum(bcnt, lf.shape[0] - 1)]
+    lf_ecnt = lf[jnp.minimum(ecnt, lf.shape[0] - 1)]
+    logpE = jnp.maximum(
+        (bcnt * jnp.log(covEf) - covEf - lf_bcnt)
+        + (ecnt * jnp.log(covEf) - covEf - lf_ecnt) + P.e_po_base, pe_rel)
+
     gH = PP.gcov[HAPLO].astype(jnp.float64)
     gD = PP.gcov[DIPLO].astype(jnp.float64)
     cols = jnp.arange(max_m)[None, :]
     inb = cols < m[:, None]
-
     cov_t = jnp.broadcast_to(PP.gcov[None, :], (R2, 4))
 
     def dp(cov):
-        return rel_dp_pass2(bpos, bcnt, epos, ecnt, rel["max_cc"],
-                            rel["lf_bcnt"], rel["logpE"], m, plen,
+        return rel_dp_pass2(bpos, bcnt, epos, ecnt, max_cc,
+                            lf_bcnt, logpE, m, plen,
                             fwd, cov, P, max_m)[0]
 
     asgn = dp(cov_t).astype(jnp.int32)
@@ -208,10 +284,13 @@ def classify_batch_dev(rel, undyn, xs_desc, xs_asc, un_n, rel_rows,
     rel_out = jnp.where(take_b[:, None], asgn_b, asgn_f)   # (R, max_m)
 
     # ---- scatter into the full interval layout ----------------------------
-    asgn_un = undyn["asgn"].astype(jnp.int32)
+    asgn_un = jnp.full((Bn, max_n), N_STATE, jnp.int32)
     asgn_un = asgn_un.at[
         rel_rows[:, None], rel_cols].set(rel_out, mode="drop")
-    undyn = dict(undyn, asgn=asgn_un)
 
     # ---- unreliable-interval relaxation -----------------------------------
-    return unrel_sweeps2(undyn, xs_desc, xs_asc, un_n, PP.unrel, max_n)
+    undyn = {"is_rel": is_rel_u, "asgn": asgn_un,
+             "P13": P13, "packL": packL, "packR": packR}
+    xs_desc = {"idx": idx_desc, "live": live_u}
+    xs_asc = {"idx": idx_asc, "live": live_u}
+    return unrel_sweeps2(undyn, xs_desc, xs_asc, n_u, PP.unrel, max_n)

@@ -24,7 +24,6 @@ assumption.
 
 from __future__ import annotations
 
-import math
 from typing import Iterator
 
 import numpy as np
@@ -37,7 +36,6 @@ from classpro_tpu.estimation import GlobalModel, build_global_model
 from classpro_tpu.io.classfile import ClassRecord
 from classpro_tpu.io.fastk import load_histogram, open_profiles
 from classpro_tpu.io.fastx import read_fastx
-from classpro_tpu.numerics import LOGFACT
 from classpro_tpu.tpu.device_pipeline import (build_pipeline_params,
                                               classify_batch_dev)
 
@@ -88,12 +86,6 @@ def make_wall_stage(gm: GlobalModel):
         return _PyWall(gm)
 
 
-def _pois(k: np.ndarray, lam: float) -> np.ndarray:
-    """k*log(lam) - lam - logfact[k], C/libm arithmetic (prob.c:33)."""
-    kc = np.minimum(k, 32767)
-    return kc * math.log(lam) - lam - LOGFACT[kc]
-
-
 class TpuEngine:
     def __init__(self, gm: GlobalModel, batch_size: int = 512):
         self.gm = gm
@@ -106,22 +98,20 @@ class TpuEngine:
         gm = self.gm
         K = gm.kmer
         B = len(seqs)
-        covE = float(gm.cov[ERROR])
-        covH = float(gm.cov[HAPLO])
-        covD = float(gm.cov[DIPLO])
-        d = gm.defaults
 
-        ivs: list = []
-        nrels: list[int] = []
-        for i in range(B):
-            if len(profiles[i]) == 0:
-                ivs.append(None)
-                nrels.append(0)
-                continue
-            arr, nrel = self.wall.wall_stage(seqs[i].encode("ascii"),
-                                             profiles[i])
-            ivs.append(arr)
-            nrels.append(nrel)
+        ivs: list = [None] * B
+        nrels: list[int] = [0] * B
+        todo = [i for i in range(B) if len(profiles[i]) > 0]
+        if hasattr(self.wall, "wall_stage_batch"):
+            res = self.wall.wall_stage_batch(
+                [seqs[i].encode("ascii") for i in todo],
+                [profiles[i] for i in todo])
+            for i, (arr, nrel) in zip(todo, res):
+                ivs[i], nrels[i] = arr, nrel
+        else:
+            for i in todo:
+                ivs[i], nrels[i] = self.wall.wall_stage(
+                    seqs[i].encode("ascii"), profiles[i])
 
         rows = [i for i in range(B) if ivs[i] is not None and len(ivs[i]) > 0]
         if not rows:
@@ -133,11 +123,11 @@ class TpuEngine:
         max_n = _bucket(max(ns))
         cols_n = np.arange(max_n)
 
-        fI = {k: np.zeros((Bn, max_n), np.int64)
+        fI = {k: np.zeros((Bn, max_n), np.int32)
               for k in ("b", "e", "cb", "ce", "ccb", "cce")}
         fF = {k: np.full((Bn, max_n), NEG_INF)
               for k in ("pe", "peob", "peoe")}
-        is_rel = np.zeros((Bn, max_n), bool)
+        is_rel = np.zeros((Bn, max_n), np.int32)
         n_pad = np.zeros(Bn, np.int32)
         fI["e"][:] = 1
         for r, i in enumerate(rows):
@@ -148,53 +138,16 @@ class TpuEngine:
             fF["pe"][r, :nn] = a["pe"]
             fF["peob"][r, :nn] = a["pe_o_b"]
             fF["peoe"][r, :nn] = a["pe_o_e"]
-            is_rel[r, :nn] = a["is_rel"] != 0
+            is_rel[r, :nn] = a["is_rel"]
 
         live_n = cols_n[None, :] < n_pad[:, None]
-        keys = np.where(live_n, np.minimum(fI["cb"], fI["ce"]), 1 << 62)
+        keys = np.where(live_n, np.minimum(fI["cb"], fI["ce"]),
+                        np.int64(1) << 40)
         iord = np.argsort(keys, axis=1, kind="stable").astype(np.int32)
-
-        # host precompute (libm-exact static terms, class_unrel.c:53,181)
-        lf_cb = LOGFACT[np.minimum(fI["cb"], 32767)]
-        lf_ce = LOGFACT[np.minimum(fI["ce"], 32767)]
-        po_cb_e = np.minimum(fI["cb"], 32767) * math.log(covE) - covE - lf_cb
-        po_ce_e = np.minimum(fI["ce"], 32767) * math.log(covE) - covE - lf_ce
-        lE = np.maximum(fF["pe"], po_cb_e + po_ce_e + d.e_po_base)
-        orig = {
-            "cb": fI["cb"], "ce": fI["ce"], "lf_cb": lf_cb, "lf_ce": lf_ce,
-            "x_l": fI["b"].astype(np.float64),
-            "x_r": (fI["e"] - 1).astype(np.float64),
-            "lE": lE,
-            "po_h_b": _pois(fI["cb"], covH), "po_h_e": _pois(fI["ce"], covH),
-            "po_d_b": _pois(fI["cb"], covD), "po_d_e": _pois(fI["ce"], covD),
-            "peob": fF["peob"], "peoe": fF["peoe"],
-        }
-
-        def reorder(idx):
-            xs = {k: np.take_along_axis(v, idx, axis=1)
-                  for k, v in orig.items()}
-            xs["idx"] = idx
-            return xs
-
         pos_desc = np.clip(n_pad[:, None] - 1 - cols_n[None, :], 0, max_n - 1)
         idx_desc = np.take_along_axis(iord, pos_desc, axis=1)
         idx_desc[~live_n] = 0
         idx_asc = np.where(live_n, iord, 0)
-        xs_desc = reorder(idx_desc)
-        xs_asc = reorder(idx_asc)
-        xs_desc["live"] = live_n
-        xs_asc["live"] = live_n
-
-        undyn = {
-            "is_rel": is_rel,
-            "asgn": np.full((Bn, max_n), N_STATE, np.int32),
-            "packL": np.stack([fI["cce"].astype(np.float64),
-                               (fI["e"] - 1).astype(np.float64),
-                               fI["ce"].astype(np.float64)], axis=-1),
-            "packR": np.stack([fI["ccb"].astype(np.float64),
-                               fI["b"].astype(np.float64),
-                               fI["cb"].astype(np.float64)], axis=-1),
-        }
 
         # ---- reliable-interval batch (merged fw + bw rows) ---------------
         rel_pos = [r for r, i in enumerate(rows) if nrels[i] > 0]
@@ -203,14 +156,14 @@ class TpuEngine:
         max_m = _bucket(max(ms) if ms else 1)
         cols_m = np.arange(max_m)
 
-        rb = {k: np.zeros((R, max_m), np.int64)
+        rb = {k: np.zeros((R, max_m), np.int32)
               for k in ("b", "e", "ccb", "cce")}
         rb["e"][:] = 1
         rb["ccb"][:] = 1
         rb["cce"][:] = 1
         rb_pe = np.full((R, max_m), NEG_INF)
-        m_rel = np.ones(R, np.int64)
-        plen_rel = np.ones(R, np.int64)
+        m_rel = np.ones(R, np.int32)
+        plen_rel = np.ones(R, np.int32)
         rel_rows_arr = np.full(R, Bn, np.int32)            # sentinel: drop
         rel_cols = np.full((R, max_m), max_n, np.int32)    # sentinel: drop
         for j, r in enumerate(rel_pos):
@@ -229,12 +182,6 @@ class TpuEngine:
             rb_pe[j, :mm] = a["pe"][sel]
 
         max_cc_o = np.maximum(rb["ccb"], rb["cce"])
-        lf_ccb = LOGFACT[np.minimum(rb["ccb"], 32767)]
-        lf_cce = LOGFACT[np.minimum(rb["cce"], 32767)]
-        logpE_o = np.maximum(
-            rb_pe, _pois(rb["ccb"], covE) + _pois(rb["cce"], covE)
-            + d.e_po_base)
-
         flip = np.where(cols_m[None, :] < m_rel[:, None],
                         m_rel[:, None] - 1 - cols_m[None, :],
                         cols_m[None, :])
@@ -242,23 +189,30 @@ class TpuEngine:
         def rev(a):
             return np.take_along_axis(a, flip, axis=1)
 
-        rel = {
-            "bpos": np.concatenate([rb["b"], rev(rb["e"]) - 1]),
-            "bcnt": np.concatenate([rb["ccb"], rev(rb["cce"])]),
-            "epos": np.concatenate([rb["e"] - 1, rev(rb["b"])]),
-            "ecnt": np.concatenate([rb["cce"], rev(rb["ccb"])]),
-            "max_cc": np.concatenate([max_cc_o, rev(max_cc_o)]),
-            "lf_bcnt": np.concatenate([lf_ccb, rev(lf_cce)]),
-            "logpE": np.concatenate([logpE_o, rev(logpE_o)]),
-            "m": np.concatenate([m_rel, m_rel]),
-            "plen": np.concatenate([plen_rel, plen_rel]),
-            "fwd": np.concatenate([np.ones(R, bool), np.zeros(R, bool)]),
-        }
+        # ---- TWO transfer blobs (per-array transfer costs ~20ms) ---------
+        iblob = np.concatenate([
+            fI["b"].ravel(), fI["e"].ravel(), fI["cb"].ravel(),
+            fI["ce"].ravel(), fI["ccb"].ravel(), fI["cce"].ravel(),
+            idx_desc.ravel(), idx_asc.ravel(), is_rel.ravel(),
+            live_n.astype(np.int32).ravel(), n_pad,
+            np.concatenate([rb["b"], rev(rb["e"]) - 1]).ravel(),
+            np.concatenate([rb["ccb"], rev(rb["cce"])]).ravel(),
+            np.concatenate([rb["e"] - 1, rev(rb["b"])]).ravel(),
+            np.concatenate([rb["cce"], rev(rb["ccb"])]).ravel(),
+            np.concatenate([max_cc_o, rev(max_cc_o)]).ravel(),
+            rel_cols.ravel(),
+            np.concatenate([m_rel, m_rel]),
+            np.concatenate([plen_rel, plen_rel]),
+            np.concatenate([np.ones(R, np.int32), np.zeros(R, np.int32)]),
+            rel_rows_arr,
+        ]).astype(np.int32)
+        fblob = np.concatenate([
+            fF["pe"].ravel(), fF["peob"].ravel(), fF["peoe"].ravel(),
+            np.concatenate([rb_pe, rev(rb_pe)]).ravel()])
 
         # ---- ONE device dispatch + ONE sync ------------------------------
-        out = classify_batch_dev(rel, undyn, xs_desc, xs_asc, n_pad,
-                                 rel_rows_arr, rel_cols, self.pp,
-                                 max_m, max_n)
+        out = classify_batch_dev(fblob, iblob, self.pp,
+                                 Bn, max_n, 2 * R, max_m)
         asgn_fin = np.asarray(out)
 
         # ---- expand to class strings --------------------------------------

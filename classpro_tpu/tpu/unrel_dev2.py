@@ -5,17 +5,15 @@ rel_dev2.py): the two relaxation sweeps remain genuinely sequential
 `lax.scan`s (later steps read earlier updates), but each step now costs
 two small gathers instead of ~30:
 
-* every *static* per-interval quantity — boundary counts/positions at
-  the processing index, its original-order neighbors' pe terms, the
-  Poisson emission terms, log-factorials — is precomputed on the HOST
-  in processing order (numpy fancy indexing is free there) and fed
-  through scan xs.  Host precompute also uses libm (np.log/np.exp),
-  exactly matching the reference's arithmetic for those terms
-  (class_unrel.c:53-64,181-183).
+* per-interval static terms (boundary counts/positions, Poisson
+  emissions, log-factorials, wall error log-probs) are precomputed ONCE
+  per call outside the scan (device_pipeline.py derives them from the
+  compact int planes) and packed into a (B, N, 13) value tensor; each
+  step reads its interval's row with a single one-hot contraction;
 * dynamic values (the evolving assignment vector, nearest-reliable-
-  neighbor searches and the values at those neighbors) are extracted
-  with masked reductions / one-hot contractions over the (B, N)
-  interval axis — no gathers.
+  neighbor searches and the values at those neighbors) are masked
+  reductions / one-hot contractions over the (B, N) interval axis — no
+  gathers;
 * the four Skellam drift terms of a step run as ONE packed-table call;
   the four binomial-tail lookups as ONE flat gather.
 
@@ -36,6 +34,10 @@ from classpro_tpu.tpu.skellam_dev import PackedSkellam, logp_skellam_packed
 ERROR, REPEAT, HAPLO, DIPLO, N_STATE = 0, 1, 2, 3, 4
 NEG_INF = float("-inf")
 BIG = jnp.int32(1 << 30)
+
+# plane order in the per-interval static value tensor `P13`
+(_CB, _CE, _LFCB, _LFCE, _XL, _XR, _LE,
+ _POHB, _POHE, _PODB, _PODE, _PEOB, _PEOE) = range(13)
 
 
 class UnrelParams2(NamedTuple):
@@ -64,23 +66,18 @@ def _lf_oh(idx, lf_small):
 def unrel_sweeps2(dyn, xs_desc, xs_asc, n, P: UnrelParams2, max_n: int):
     """Two relaxation sweeps (class_unrel.c:248-300).
 
-    dyn: dict of (B, max_n) arrays in ORIGINAL interval order —
-      is_rel (bool), asgn (int32, N_STATE = unclassified), and the
-      value planes read at dynamic nearest-neighbor indices:
-      packL = stack(cce, e-1, ce) (B,max_n,3) and
-      packR = stack(ccb, b, cb) (B,max_n,3) — corrected counts and
-      positions for drift/coverage estimation, uncorrected ce/cb for
-      the repeat test's neighbor coverages (class_unrel.c:73-81).
-    xs_desc / xs_asc: dicts of (B, max_n) host-precomputed per-step
-      inputs in processing order — idx (int32, interval index; 0 where
-      not live), live (bool, position < n), cb, ce (i64 boundary
-      counts), lf_cb, lf_ce (logfact at those counts), x_l, x_r (f64
-      query positions ib / ie-1), lE (full E emission), po_h_b, po_h_e,
-      po_d_b, po_d_e (Poisson fallbacks at global H/D coverages),
-      peob, peoe (wall error log-probs of the interval).
-    n: (B,) interval counts.
+    dyn: dict of device arrays in ORIGINAL interval order —
+      is_rel (bool (B,N)), asgn (int32 (B,N), N_STATE = unclassified),
+      P13 (f64 (B,N,13), plane order per module constants),
+      packL = stack(cce, e-1, ce) and packR = stack(ccb, b, cb)
+      (f64 (B,N,3)) — corrected counts/positions for drift/coverage
+      estimation plus uncorrected ce/cb for the repeat test's neighbor
+      coverages (class_unrel.c:73-81).
+    xs_desc / xs_asc: dicts of (B, N) per-step inputs in processing
+      order — idx (int32 interval index, 0 where not live), live (bool).
+    n: (B,) int32 interval counts.
 
-    Returns final asgn (B, max_n) int8.
+    Returns final asgn (B, N) int8.
     """
     cols = jnp.arange(max_n, dtype=jnp.int32)[None, :]
     valid = cols < n[:, None]
@@ -89,6 +86,7 @@ def unrel_sweeps2(dyn, xs_desc, xs_asc, n, P: UnrelParams2, max_n: int):
     is_fixed = is_rel & ((asgn0 == HAPLO) | (asgn0 == DIPLO))
 
     packL, packR = dyn["packL"], dyn["packR"]
+    P13 = dyn["P13"]
 
     def find_nn(asgn, idx, s):
         """Nearest is_rel & asgn==s interval left/right of idx
@@ -101,10 +99,10 @@ def unrel_sweeps2(dyn, xs_desc, xs_asc, n, P: UnrelParams2, max_n: int):
         r = jnp.where(r == BIG, -1, r)
         return l, r
 
-    def extract2(pack, j):
+    def extract_pack(pack, j):
         """pack[b, j[b], :] via one-hot sum; zeros when j == -1."""
         oh = (cols == j[:, None])[:, :, None]
-        return jnp.sum(jnp.where(oh, pack, 0.0), axis=1)       # (B, 2)
+        return jnp.sum(jnp.where(oh, pack, 0.0), axis=1)
 
     def extract_i(arr, j):
         oh = cols == j[:, None]
@@ -112,21 +110,23 @@ def unrel_sweeps2(dyn, xs_desc, xs_asc, n, P: UnrelParams2, max_n: int):
 
     def step_fn(asgn, x):
         idx = x["idx"]
-        icb, ice = x["cb"], x["ce"]
         oh_idx = cols == idx[:, None]
+        v = jnp.sum(jnp.where(oh_idx[:, :, None], P13, 0.0), axis=1)
+        icb = v[:, _CB].astype(jnp.int64)
+        ice = v[:, _CE].astype(jnp.int64)
+        x_l, x_r = v[:, _XL], v[:, _XR]
 
         # ---- nearest reliable neighbors for H and D -----------------
         lH, rH = find_nn(asgn, idx, HAPLO)
         lD, rD = find_nn(asgn, idx, DIPLO)
-        Lh = extract2(packL, lH)   # (cce, e-1) at left H neighbor
-        Rh = extract2(packR, rH)   # (ccb, b)   at right H neighbor
-        Ld = extract2(packL, lD)
-        Rd = extract2(packR, rD)
+        Lh = extract_pack(packL, lH)   # (cce, e-1, ce) at left H nbr
+        Rh = extract_pack(packR, rH)   # (ccb, b, cb)   at right H nbr
+        Ld = extract_pack(packL, lD)
+        Rd = extract_pack(packR, rD)
 
-        # ---- logp_e_u (class_unrel.c:53-64): precomputed ------------
-        lE = x["lE"]
+        lE = v[:, _LE]
 
-        # ---- logp_r_u (class_unrel.c:67-113): uncorrected neighbor counts
+        # ---- logp_r_u (class_unrel.c:67-113): uncorrected nbr counts
         cov_d_f = jnp.asarray(P.cov_d, jnp.float64)
         dl = jnp.where(lD != -1, Ld[:, 2],
                        jnp.where(rD != -1, Rd[:, 2], cov_d_f))
@@ -141,7 +141,7 @@ def unrel_sweeps2(dyn, xs_desc, xs_asc, n, P: UnrelParams2, max_n: int):
                     - _lf_oh(nn - k, P.lf_small)
                     + k * P.log_1m_pe_mean + (nn - k) * P.log_pe_mean)
 
-        lp_r = (binom(icb, rl, x["lf_cb"]) + binom(ice, rr, x["lf_ce"]))
+        lp_r = (binom(icb, rl, v[:, _LFCB]) + binom(ice, rr, v[:, _LFCE]))
         hi = jnp.maximum(icb, ice) >= P.cov_r
         lR = jnp.where(hi, 0.0, jnp.where(over, P.r_logp, lp_r))
 
@@ -160,17 +160,14 @@ def unrel_sweeps2(dyn, xs_desc, xs_asc, n, P: UnrelParams2, max_n: int):
 
         def est_cov(s, xq):
             if s == HAPLO:
-                v, found = est_level(lH, rH, Lh, Rh, xq)
+                vv, found = est_level(lH, rH, Lh, Rh, xq)
                 v2, found2 = est_level(lD, rD, Ld, Rd, xq)
                 fb = jnp.where(found2 & (v2 > 0), v2 // 2, P.cov_h)
             else:
-                v, found = est_level(lD, rD, Ld, Rd, xq)
+                vv, found = est_level(lD, rD, Ld, Rd, xq)
                 v2, found2 = est_level(lH, rH, Lh, Rh, xq)
                 fb = jnp.where(found2 & (v2 > 0), v2 * 2, P.cov_d)
-            return jnp.where(found, v, fb)
-
-        x_l = x["x_l"].astype(jnp.float64)
-        x_r = x["x_r"].astype(jnp.float64)
+            return jnp.where(found, vv, fb)
 
         # ---- logp_h_u / logp_d_u (class_unrel.c:115-183) --------------
         # batched Skellam: [H-left, H-right, D-left, D-right]
@@ -199,17 +196,17 @@ def unrel_sweeps2(dyn, xs_desc, xs_asc, n, P: UnrelParams2, max_n: int):
             r_rel = rH if s == HAPLO else rD
             nb = extract_i(asgn, idx - 1)
             l_er = jnp.where((idx - 1 >= 0) & (nb == s),
-                             x["peob"], NEG_INF)
+                             v[:, _PEOB], NEG_INF)
             l_sf = jnp.where(l_rel != -1, sk[:, iL], NEG_INF)
             logp_l = jnp.maximum(jnp.maximum(l_er, l_sf), sfe[:, iL])
             na = extract_i(asgn, jnp.minimum(idx + 1, max_n - 1))
             r_er = jnp.where(((idx + 1) < n) & (na == s),
-                             x["peoe"], NEG_INF)
+                             v[:, _PEOE], NEG_INF)
             r_sf = jnp.where(r_rel != -1, sk[:, iR], NEG_INF)
             logp_r_ = jnp.maximum(jnp.maximum(r_er, r_sf), sfe[:, iR])
 
-            po_b = x["po_h_b"] if s == HAPLO else x["po_d_b"]
-            po_e = x["po_h_e"] if s == HAPLO else x["po_d_e"]
+            po_b = v[:, _POHB] if s == HAPLO else v[:, _PODB]
+            po_e = v[:, _POHE] if s == HAPLO else v[:, _PODE]
             both_inf = (logp_l == NEG_INF) & (logp_r_ == NEG_INF)
             lp_l = jnp.where(both_inf, po_b,
                              jnp.where(logp_l == NEG_INF, logp_r_, logp_l))
@@ -233,7 +230,7 @@ def unrel_sweeps2(dyn, xs_desc, xs_asc, n, P: UnrelParams2, max_n: int):
         return asgn, None
 
     def run(asgn, xs):
-        # scan over the processing axis: transpose (B, max_n) -> (max_n, B)
+        # scan over the processing axis: transpose (B, N) -> (N, B)
         xsT = {k: v.T for k, v in xs.items()}
         a, _ = jax.lax.scan(step_fn, asgn, xsT)
         return a

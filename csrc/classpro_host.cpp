@@ -15,9 +15,11 @@
 // links, so values are bit-identical to the oracle).
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -240,6 +242,92 @@ static void seq_context(const char* s, int rlen, uint8_t* lctx, uint8_t* rctx) {
   R(rlenm1, 1) = R(rlenm1, 2) = R(rlen - 2, 2) = 0;
 }
 
+// On-demand context: the wall walk consults run lengths only around
+// candidate wall positions (~1.5% of positions pass the prescreen), so
+// instead of precomputing full (rlen, 3) tables, each query runs a
+// bounded local scan reproducing seq_context's value exactly:
+//
+// * lctx planes follow the (capped) backward recurrences of the forward
+//   fill above;
+// * rctx planes 1/2 follow the mirrored forward recurrences (the
+//   reference's backfills walk whole runs, so the mirror equals the
+//   forward unit count even past the 127 cap);
+// * rctx plane 0 reproduces the reference's artifact that only the last
+//   lctx(b,0) <= 127 positions of a homopolymer run are backfilled
+//   (mirroring the CAPPED lctx sequence; deeper positions keep 0).
+//
+// Exhaustively validated equal to seq_context (tests/test_tpu_engine.py).
+struct CtxOnDemand {
+  const char* s;
+  int rlen;
+
+  int l(int i, int t) const {
+    if (t == 0) {
+      int n = 1, k = i;
+      while (k >= 1 && s[k - 1] == s[k] && n < 127) { n++; k--; }
+      return n;
+    }
+    if (t == 1) {
+      if (i < 1) return 0;
+      if (s[i - 1] == s[i]) return 0;
+      int f = 0, k = i;
+      while (k >= 3 && s[k - 3] == s[k - 1] && s[k - 2] == s[k]) {
+        if (++f >= 127) return 127;
+        k -= 2;
+        if (k < 1 || (s[k - 1] == s[k])) return f;   // base L=0
+      }
+      return f + 1;
+    }
+    if (i < 2) return 0;
+    if (s[i - 1] == s[i] && s[i - 2] == s[i - 1]) return 0;
+    int f = 0, k = i;
+    while (k >= 5 && s[k - 5] == s[k - 2] && s[k - 4] == s[k - 1] &&
+           s[k - 3] == s[k]) {
+      if (++f >= 127) return 127;
+      k -= 3;
+      if (k < 2 || (s[k - 1] == s[k] && s[k - 2] == s[k - 1])) return f;
+    }
+    return f + 1;
+  }
+
+  int r(int j, int t) const {
+    if (t == 0) {
+      int m = 0;
+      while (j + m + 1 < rlen && s[j + m] == s[j + m + 1] && m < 127) m++;
+      if (m >= 127) return 0;              // deeper than the backfill window
+      int back = 0;
+      while (j - back - 1 >= 0 && s[j - back - 1] == s[j - back] &&
+             back < 253) back++;
+      int runlen = m + 1 + back;
+      if (runlen <= 127) return m + 1;     // plain mirror
+      int v = m + runlen - 126;            // mirror of the capped L values
+      return v > 127 ? 127 : v;
+    }
+    if (t == 1) {
+      if (j >= rlen - 1) return 0;
+      if (s[j] == s[j + 1]) return 0;
+      int f = 0, k = j;
+      while (k + 3 < rlen && s[k + 3] == s[k + 1] && s[k + 2] == s[k]) {
+        if (++f >= 127) return 127;
+        k += 2;
+        if (k + 1 >= rlen || s[k] == s[k + 1]) return f;
+      }
+      return f + 1;
+    }
+    if (j >= rlen - 2) return 0;
+    if (s[j] == s[j + 1] && s[j + 2] == s[j + 1]) return 0;
+    int f = 0, k = j;
+    while (k + 5 < rlen && s[k + 5] == s[k + 2] && s[k + 4] == s[k + 1] &&
+           s[k + 3] == s[k]) {
+      if (++f >= 127) return 127;
+      k += 3;
+      if (k >= rlen - 2 || (s[k] == s[k + 1] && s[k + 2] == s[k + 1]))
+        return f;
+    }
+    return f + 1;
+  }
+};
+
 // ---------------------------------------------------------------------
 // wall detection (mirror of classpro_tpu/exact/wall.py WallFinder)
 // ---------------------------------------------------------------------
@@ -250,7 +338,8 @@ struct Workspace {
   std::vector<uint8_t> wall;
   std::vector<double> perror;  // (plen+1) x 2 x 2
   std::vector<EIntvl> eintvl, ointvl;
-  std::vector<uint8_t> lctx, rctx;
+  std::vector<uint8_t> cand;
+  std::vector<int> cand_idx, bnd;
 };
 
 struct OutIntvl {
@@ -261,12 +350,12 @@ struct OutIntvl {
 class WallWalk {
  public:
   WallWalk(const Model& M, const uint16_t* prof, int plen,
-           const uint8_t* lctx, const uint8_t* rctx, Workspace& ws)
-      : M_(M), prof_(prof), plen_(plen), lctx_(lctx), rctx_(rctx), ws_(ws) {}
+           const CtxOnDemand& cd, Workspace& ws)
+      : M_(M), prof_(prof), plen_(plen), cd_(cd), ws_(ws) {}
 
   // ctx accessors: DROP -> lctx[i+K-2], GAIN -> rctx[i]
   inline int ctx(int w, int i, int t) const {
-    return w == DROP ? lctx_[(i + M_.K - 2) * 3 + t] : rctx_[i * 3 + t];
+    return w == DROP ? cd_.l(i + M_.K - 2, t) : cd_.r(i, t);
   }
 
   inline double& perr(int i, int e, int w) {
@@ -402,11 +491,26 @@ class WallWalk {
     eintvl.clear();
     ointvl.clear();
 
+    // vectorizable candidate prescreen: walls are rare (~1.5% of
+    // positions pass), so the wall-test work below runs over a compacted
+    // candidate index list instead of every position
+    auto& cand = ws_.cand;
+    cand.assign(plen_ + 1, 0);
     for (int i = 1; i < plen_; i++) {
       int cim1 = prof_[i - 1], ci = prof_[i];
-      if (std::min(cim1, ci) >= M_.cmax) continue;
+      int d = cim1 - ci;
+      cand[i] = (uint8_t)((std::min(cim1, ci) < M_.cmax) &
+                          ((d >= M_.min_cnt_change) |
+                           (-d >= M_.min_cnt_change)));
+    }
+    auto& cidx = ws_.cand_idx;
+    cidx.clear();
+    for (int i = 1; i < plen_; i++)
+      if (cand[i]) cidx.push_back(i);
+
+    for (int i : cidx) {
+      int cim1 = prof_[i - 1], ci = prof_[i];
       int cng = std::abs(cim1 - ci);
-      if (cng < M_.min_cnt_change) continue;
       int wtype, cin, cout;
       if (cim1 > ci) { wtype = DROP; cin = ci; cout = cim1; }
       else { wtype = GAIN; cin = cim1; cout = ci; }
@@ -490,8 +594,10 @@ class WallWalk {
     }
     int NS = (int)eintvl.size();
 
-    // multi-error & boundary E-intvls (wall.c:759-860 semantics)
-    for (int i = 1; i < plen_; i++) {
+    // multi-error & boundary E-intvls (wall.c:759-860 semantics);
+    // W_BY[OTHERS] is only ever set at prescreen candidates, so the
+    // compacted index list covers every flagged position
+    for (int i : ws_.cand_idx) {
       if (!((wall[i] & W_BY[OTHERS]) && !(wall[i] & W_BY[SELF]))) continue;
       if (wall[i] & P_MULT) continue;
       for (int w = DROP; w <= GAIN; w++) {
@@ -578,13 +684,32 @@ class WallWalk {
     for (auto& I : eintvl)
       for (int j = I.b; j < I.e; j++) wall[j] |= ERRB;
 
-    // emit intervals (wall.c:921-948)
+    // emit intervals (wall.c:921-948).  Boundary positions are the
+    // edges of the ERRB union plus OTHERS-flagged candidates outside it
+    // plus plen — enumerated directly instead of scanning every position.
+    auto& bnd = ws_.bnd;
+    bnd.clear();
+    {
+      size_t i2 = 0;
+      while (i2 < eintvl.size()) {
+        int ub = eintvl[i2].b, ue = eintvl[i2].e;
+        size_t j = i2 + 1;
+        while (j < eintvl.size() && eintvl[j].b <= ue) {
+          ue = std::max(ue, (int)eintvl[j].e);
+          j++;
+        }
+        if (ub >= 1 && ub < plen_) bnd.push_back(ub);
+        if (ue >= 1 && ue < plen_) bnd.push_back(ue);
+        i2 = j;
+      }
+      for (int i : ws_.cand_idx)
+        if (!(wall[i] & ERRB) && (wall[i] & W_BY[OTHERS])) bnd.push_back(i);
+      bnd.push_back(plen_);
+      std::sort(bnd.begin(), bnd.end());
+      bnd.erase(std::unique(bnd.begin(), bnd.end()), bnd.end());
+    }
     int N = 0, b = 0;
-    for (int i = 1; i <= plen_; i++) {
-      bool boundary =
-          i == plen_ || ((wall[i - 1] & ERRB) != 0) != ((wall[i] & ERRB) != 0) ||
-          (!(wall[i] & ERRB) && (wall[i] & W_BY[OTHERS]));
-      if (!boundary) continue;
+    for (int i : bnd) {
       int e = i;
       if (N >= out_cap) return -1;
       int idx = bs_eintvl(NS, b, e);
@@ -679,8 +804,7 @@ class WallWalk {
   const Model& M_;
   const uint16_t* prof_;
   int plen_;
-  const uint8_t* lctx_;
-  const uint8_t* rctx_;
+  const CtxOnDemand& cd_;
   Workspace& ws_;
 };
 
@@ -692,6 +816,23 @@ thread_local Workspace g_ws;
 }  // namespace
 
 extern "C" {
+
+// context implementations exposed for the equivalence test
+void cp_seq_context(const char* seq, int rlen, uint8_t* lctx, uint8_t* rctx,
+                    int fast) {
+  memset(lctx, 0, (size_t)rlen * 3);
+  memset(rctx, 0, (size_t)rlen * 3);
+  if (fast) {
+    CtxOnDemand cd{seq, rlen};
+    for (int i = 0; i < rlen; i++)
+      for (int t = 0; t < 3; t++) {
+        lctx[i * 3 + t] = (uint8_t)cd.l(i, t);
+        rctx[i * 3 + t] = (uint8_t)cd.r(i, t);
+      }
+  } else {
+    seq_context(seq, rlen, lctx, rctx);
+  }
+}
 
 // Profile decode (libfastk.c:1464-1534 stream format)
 int cp_decode_profile(const uint8_t* buf, int64_t len, uint16_t* out,
@@ -753,15 +894,69 @@ int cp_wall_stage(
   M.lmaxp1 = lmaxp1; M.pe = pe; M.cthres = cthres;
   M.logpthres_final_self = std::log(M.pe_thres[TFINAL][SELF]);
 
-  g_ws.lctx.assign(rlen * 3, 0);
-  g_ws.rctx.assign(rlen * 3, 0);
-  seq_context(seq, rlen, g_ws.lctx.data(), g_ws.rctx.data());
+  CtxOnDemand cd{seq, rlen};
 
-  WallWalk W(M, prof, plen, g_ws.lctx.data(), g_ws.rctx.data(), g_ws);
+  WallWalk W(M, prof, plen, cd, g_ws);
   int N = W.run(out, out_cap);
   if (N < 0) return -1;
   *n_rel = W.find_rel(out, N);
   return N;
+}
+
+// Batched multithreaded wall stage (replaces the reference's per-thread
+// read loop, ClassPro.c:146-304, for the host side of the pipeline).
+// Reads are concatenated: seqs with seq_off[n+1] byte offsets, profs with
+// prof_off[n+1] element offsets.  Each read writes to a fixed slot of
+// `slot` records at out + i*slot; n_out[i] = record count (-1 if the
+// slot overflowed; caller retries that read via cp_wall_stage), n_rel[i]
+// = reliable count.  Thread count = min(threads, hardware).
+void cp_wall_stage_batch(
+    int K, int cmax, int cov_h, int read_len, int max_n_hc,
+    int min_cnt_change, int max_cnt_change, const double* pe_thres4,
+    double thres_diff_eo, double thres_diff_rel, double hc_erate,
+    const int* lmax3, int lmaxp1, const double* pe, const int16_t* cthres,
+    int n_reads, const char* seqs, const int64_t* seq_off,
+    const uint16_t* profs, const int64_t* prof_off,
+    OutIntvl* out, int slot, int* n_out, int* n_rel, int threads) {
+  init_logfact();
+  Model M;
+  M.K = K; M.cmax = cmax; M.cov_h = cov_h; M.read_len = read_len;
+  M.max_n_hc = max_n_hc; M.min_cnt_change = min_cnt_change;
+  M.max_cnt_change = max_cnt_change;
+  M.pe_thres[0][0] = pe_thres4[0]; M.pe_thres[0][1] = pe_thres4[1];
+  M.pe_thres[1][0] = pe_thres4[2]; M.pe_thres[1][1] = pe_thres4[3];
+  M.thres_diff_eo = thres_diff_eo; M.thres_diff_rel = thres_diff_rel;
+  M.hc_erate = hc_erate;
+  M.lmax[0] = lmax3[0]; M.lmax[1] = lmax3[1]; M.lmax[2] = lmax3[2];
+  M.lmaxp1 = lmaxp1; M.pe = pe; M.cthres = cthres;
+  M.logpthres_final_self = std::log(M.pe_thres[TFINAL][SELF]);
+
+  int T = threads;
+  int hw = (int)std::thread::hardware_concurrency();
+  if (hw > 0 && T > hw) T = hw;
+  if (T < 1) T = 1;
+  std::atomic<int> next(0);
+
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n_reads) return;
+      const char* seq = seqs + seq_off[i];
+      int rlen = (int)(seq_off[i + 1] - seq_off[i]);
+      const uint16_t* prof = profs + prof_off[i];
+      int plen = (int)(prof_off[i + 1] - prof_off[i]);
+      CtxOnDemand cd{seq, rlen};
+      WallWalk W(M, prof, plen, cd, g_ws);
+      int N = W.run(out + (int64_t)i * slot, slot);
+      if (N < 0) { n_out[i] = -1; n_rel[i] = 0; continue; }
+      n_rel[i] = W.find_rel(out + (int64_t)i * slot, N);
+      n_out[i] = N;
+    }
+  };
+  if (T == 1) { worker(); return; }
+  std::vector<std::thread> ts;
+  for (int t = 0; t < T; t++) ts.emplace_back(worker);
+  for (auto& th : ts) th.join();
 }
 
 }  // extern "C"
