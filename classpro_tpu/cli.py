@@ -77,6 +77,19 @@ def cmd_class2acc(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_class2cns(args: argparse.Namespace) -> int:
+    import sys
+
+    from classpro_tpu.tools.class2cns import consistency, dump
+
+    if args.consistency:
+        print(f"Overall consistency = "
+              f"{consistency(args.estimate, args.fastk_root)}")
+    else:
+        dump(args.estimate, args.fastk_root, sys.stdout)
+    return 0
+
+
 def cmd_simulate(args: argparse.Namespace) -> int:
     from classpro_tpu.tools.simulate import SimConfig, generate_dataset
 
@@ -130,6 +143,15 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("-f", "--max-e", type=int, default=100)
     a.add_argument("-r", "--min-r", type=int, default=0)
     a.set_defaults(fn=cmd_class2acc)
+
+    n = sub.add_parser("class2cns",
+                       help="k-mer/class dump or consensus consistency")
+    n.add_argument("estimate")
+    n.add_argument("fastk_root")
+    n.add_argument("-c", "--consistency", action="store_true",
+                   help="print the harmonic-mean most-common-class "
+                        "fraction instead of the dump")
+    n.set_defaults(fn=cmd_class2cns)
 
     s = sub.add_parser("simulate", help="generate synthetic dataset")
     s.add_argument("outdir")

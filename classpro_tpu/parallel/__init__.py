@@ -13,5 +13,5 @@ from classpro_tpu.parallel.mesh import (  # noqa: F401
     data_parallel_mesh,
     psum_histogram,
     shard_batch,
-    sharded_rel_dp,
+    sharded_classify,
 )

@@ -1,10 +1,11 @@
-"""Mesh construction and sharded kernels.
+"""Mesh construction and sharded execution.
 
-Design (scaling-book recipe): pick a 1-D mesh over all chips, annotate
-the batch axis of every per-read array with `P("dp")`, leave tables
-replicated, and let XLA insert any collectives.  Classification needs
-zero cross-device communication — reads are independent — so scaling is
-bounded only by host IO and batch skew.
+Design (scaling-book recipe): pick a 1-D mesh over all chips, shard the
+read-batch axis with `P("dp")`, leave every model table replicated, and
+let XLA insert any collectives.  Classification needs zero cross-device
+communication — reads are independent — so scaling is bounded only by
+host IO and batch skew.  The single collective in the whole program is
+the global-histogram psum during estimation.
 """
 
 from __future__ import annotations
@@ -49,11 +50,22 @@ def psum_histogram(mesh: Mesh, local_hist: np.ndarray) -> jnp.ndarray:
     return f(stacked)[0]
 
 
-def sharded_rel_dp(mesh: Mesh, batch_args: tuple, relp, fwd: bool, max_m: int):
-    """Run the reliable-interval DP with the batch axis sharded over the
-    mesh (each chip processes its block of reads; no collectives)."""
-    from classpro_tpu.tpu.rel_dev import rel_dp_pass
+def sharded_classify(mesh: Mesh, fblobs: np.ndarray, iblobs: np.ndarray,
+                     PP, dims: tuple):
+    """Run the full classification program data-parallel over the mesh.
 
-    b, e, ccb, cce, pe, m, plen, cov = shard_batch(mesh, *batch_args)
-    return rel_dp_pass(b, e, ccb, cce, pe, m, plen, cov, relp,
-                       fwd=fwd, max_m=max_m)
+    fblobs (D, Lf) / iblobs (D, Li): one transfer-blob pair per device
+    (each packs that device's read shard — engine.pack_chunk layout);
+    dims are the per-shard static dims.  Returns (D, Bn, max_n) int8.
+    Zero collectives: each device classifies its own shard (the blob
+    axis is sharded over dp, so XLA partitions the vmapped program
+    one shard per device)."""
+    from classpro_tpu.tpu.device_pipeline import classify_batch_dev
+
+    fb = shard_batch(mesh, fblobs)
+    ib = shard_batch(mesh, iblobs)
+
+    fn = jax.jit(
+        jax.vmap(lambda f, i: classify_batch_dev(f, i, PP, *dims)),
+        out_shardings=NamedSharding(mesh, P("dp", None, None)))
+    return fn(fb, ib)

@@ -20,7 +20,11 @@ Blob layouts (sizes static per jit specialisation):
                  [10 x Bn*max_n] | n [Bn] |
                  bpos,bcnt,epos,ecnt,max_cc [5 x R2*max_m] |
                  rel_cols [R*max_m] | m,plen,fwd [3 x R2] | rel_rows [R]
-  fblob (f64):   pe,peob,peoe [3 x Bn*max_n] | pe_rel [R2*max_m]
+  fblob (f64):   pe,peob,peoe,lf_cb,lf_ce [5 x Bn*max_n] |
+                 pe_rel,lf_bcnt,lf_ecnt [3 x R2*max_m]
+
+(log-factorial planes are host table lookups — cheap there, ~25ns per
+gathered element here.)
 """
 
 from __future__ import annotations
@@ -95,7 +99,6 @@ def classify_batch_dev(fblob, iblob, PP: PipelineParams,
     """See module docstring.  Returns final asgn (Bn, max_n) int8."""
     P = PP.rel
     R = R2 // 2
-    lf = P.logfact
 
     # ---------------- unpack blobs --------------------------------------
     un_sz, rel_sz = Bn * max_n, R2 * max_m
@@ -140,37 +143,36 @@ def classify_batch_dev(fblob, iblob, PP: PipelineParams,
     pe_u = take_f(un_sz, (Bn, max_n))
     peob_u = take_f(un_sz, (Bn, max_n))
     peoe_u = take_f(un_sz, (Bn, max_n))
+    lf_cb = take_f(un_sz, (Bn, max_n))
+    lf_ce = take_f(un_sz, (Bn, max_n))
     pe_rel = take_f(rel_sz, (R2, max_m))
+    lf_bcnt = take_f(rel_sz, (R2, max_m))
+    lf_ecnt = take_f(rel_sz, (R2, max_m))
 
     # ---------------- derived planes (device, v1-kernel arithmetic) -----
-    covE = PP.gcov[ERROR]
     covHf = PP.gcov[HAPLO].astype(jnp.float64)
     covDf = PP.gcov[DIPLO].astype(jnp.float64)
-    covEf = covE.astype(jnp.float64)
+    covEf = PP.gcov[ERROR].astype(jnp.float64)
 
-    def pois(k, lamf):
-        kc = jnp.minimum(k, lf.shape[0] - 1)
-        return kc * jnp.log(lamf) - lamf - lf[kc]
-
-    lf_cb = lf[jnp.minimum(cb_u, lf.shape[0] - 1)]
-    lf_ce = lf[jnp.minimum(ce_u, lf.shape[0] - 1)]
     po_cb_e = cb_u * jnp.log(covEf) - covEf - lf_cb
     po_ce_e = ce_u * jnp.log(covEf) - covEf - lf_ce
     lE_u = jnp.maximum(pe_u, po_cb_e + po_ce_e + P.e_po_base)
     f64 = jnp.float64
+
+    def pois(k, lamf, lf_k):
+        return k * jnp.log(lamf) - lamf - lf_k
+
     P13 = jnp.stack([
         cb_u.astype(f64), ce_u.astype(f64), lf_cb, lf_ce,
         b_u.astype(f64), (e_u - 1).astype(f64), lE_u,
-        pois(cb_u, covHf), pois(ce_u, covHf),
-        pois(cb_u, covDf), pois(ce_u, covDf),
+        pois(cb_u, covHf, lf_cb), pois(ce_u, covHf, lf_ce),
+        pois(cb_u, covDf, lf_cb), pois(ce_u, covDf, lf_ce),
         peob_u, peoe_u], axis=-1)
     packL = jnp.stack([cce_u.astype(f64), (e_u - 1).astype(f64),
                        ce_u.astype(f64)], axis=-1)
     packR = jnp.stack([ccb_u.astype(f64), b_u.astype(f64),
                        cb_u.astype(f64)], axis=-1)
 
-    lf_bcnt = lf[jnp.minimum(bcnt, lf.shape[0] - 1)]
-    lf_ecnt = lf[jnp.minimum(ecnt, lf.shape[0] - 1)]
     logpE = jnp.maximum(
         (bcnt * jnp.log(covEf) - covEf - lf_bcnt)
         + (ecnt * jnp.log(covEf) - covEf - lf_ecnt) + P.e_po_base, pe_rel)
@@ -181,10 +183,12 @@ def classify_batch_dev(fblob, iblob, PP: PipelineParams,
     inb = cols < m[:, None]
     cov_t = jnp.broadcast_to(PP.gcov[None, :], (R2, 4))
 
+    rel_lanes = 1  # lane-splitting measured net-negative on the real body
+
     def dp(cov):
         return rel_dp_pass2(bpos, bcnt, epos, ecnt, max_cc,
                             lf_bcnt, logpE, m, plen,
-                            fwd, cov, P, max_m)[0]
+                            fwd, cov, P, max_m, lanes=rel_lanes)[0]
 
     asgn = dp(cov_t).astype(jnp.int32)
     l_arr = jnp.abs(epos - bpos) + 1        # interval lengths (invariant)
@@ -293,4 +297,6 @@ def classify_batch_dev(fblob, iblob, PP: PipelineParams,
              "P13": P13, "packL": packL, "packR": packR}
     xs_desc = {"idx": idx_desc, "live": live_u}
     xs_asc = {"idx": idx_asc, "live": live_u}
-    return unrel_sweeps2(undyn, xs_desc, xs_asc, n_u, PP.unrel, max_n)
+    un_lanes = 1   # lane-splitting measured net-negative on the real body
+    return unrel_sweeps2(undyn, xs_desc, xs_asc, n_u, PP.unrel, max_n,
+                         lanes=un_lanes)

@@ -36,6 +36,7 @@ from classpro_tpu.estimation import GlobalModel, build_global_model
 from classpro_tpu.io.classfile import ClassRecord
 from classpro_tpu.io.fastk import load_histogram, open_profiles
 from classpro_tpu.io.fastx import read_fastx
+from classpro_tpu.numerics import LOGFACT
 from classpro_tpu.tpu.device_pipeline import (build_pipeline_params,
                                               classify_batch_dev)
 
@@ -54,6 +55,11 @@ def _bucket(x: int, lo: int = 8) -> int:
     while b < x:
         b *= 2
     return b
+
+
+def _bucket32(x: int) -> int:
+    """Round up to a multiple of 32 (scan-length padding granularity)."""
+    return max(32, (x + 31) // 32 * 32)
 
 
 class _PyWall:
@@ -86,6 +92,121 @@ def make_wall_stage(gm: GlobalModel):
         return _PyWall(gm)
 
 
+def pack_chunk(rows, ivs, nrels, plens):
+    """Pack one read group's wall-stage records into the two transfer
+    blobs (layout: device_pipeline.py docstring).  Returns
+    (fblob, iblob, static dims, expand metadata)."""
+    ns = [len(ivs[i]) for i in rows]
+    Bn = _bucket(len(rows))
+    max_n = _bucket32(max(ns))
+    cols_n = np.arange(max_n)
+
+    # vectorized scatter of the concatenated wall-stage records
+    cat = np.concatenate([ivs[i] for i in rows])
+    n_pad = np.zeros(Bn, np.int32)
+    n_pad[: len(rows)] = ns
+    row_flat = np.repeat(np.arange(len(rows)), ns)
+    col_flat = np.arange(len(cat)) - np.repeat(
+        np.cumsum([0] + ns[:-1]), ns)
+
+    fI = {}
+    for k in ("b", "e", "cb", "ce", "ccb", "cce"):
+        v = np.zeros((Bn, max_n), np.int32)
+        if k == "e":
+            v[:] = 1
+        v[row_flat, col_flat] = cat[k]
+        fI[k] = v
+    fF = {}
+    for k, src in (("pe", "pe"), ("peob", "pe_o_b"), ("peoe", "pe_o_e")):
+        v = np.full((Bn, max_n), NEG_INF)
+        v[row_flat, col_flat] = cat[src]
+        fF[k] = v
+    for k, cnt in (("lf_cb", "cb"), ("lf_ce", "ce")):
+        v = np.zeros((Bn, max_n))
+        v[row_flat, col_flat] = LOGFACT[np.minimum(cat[cnt], 32767)]
+        fF[k] = v
+    is_rel = np.zeros((Bn, max_n), np.int32)
+    is_rel[row_flat, col_flat] = cat["is_rel"]
+
+    live_n = cols_n[None, :] < n_pad[:, None]
+    keys = np.where(live_n, np.minimum(fI["cb"], fI["ce"]),
+                    np.int64(1) << 40)
+    iord = np.argsort(keys, axis=1, kind="stable").astype(np.int32)
+    pos_desc = np.clip(n_pad[:, None] - 1 - cols_n[None, :], 0, max_n - 1)
+    idx_desc = np.take_along_axis(iord, pos_desc, axis=1)
+    idx_desc[~live_n] = 0
+    idx_asc = np.where(live_n, iord, 0)
+
+    # ---- reliable-interval batch (merged fw + bw rows) ---------------
+    rel_pos = [r for r, i in enumerate(rows) if nrels[i] > 0]
+    R = _bucket(max(len(rel_pos), 1))
+    ms = [nrels[rows[r]] for r in rel_pos]
+    max_m = _bucket32(max(ms) if ms else 1)
+    cols_m = np.arange(max_m)
+
+    rb = {k: np.zeros((R, max_m), np.int32)
+          for k in ("b", "e", "ccb", "cce")}
+    rb["e"][:] = 1
+    rb["ccb"][:] = 1
+    rb["cce"][:] = 1
+    rb_pe = np.full((R, max_m), NEG_INF)
+    m_rel = np.ones(R, np.int32)
+    plen_rel = np.ones(R, np.int32)
+    rel_rows_arr = np.full(R, Bn, np.int32)            # sentinel: drop
+    rel_cols = np.full((R, max_m), max_n, np.int32)    # sentinel: drop
+    for j, r in enumerate(rel_pos):
+        i = rows[r]
+        a = ivs[i]
+        sel = np.nonzero(a["is_rel"])[0]
+        mm = len(sel)
+        m_rel[j] = mm
+        plen_rel[j] = plens[i]
+        rel_rows_arr[j] = r
+        rel_cols[j, :mm] = sel
+        rb["b"][j, :mm] = a["b"][sel]
+        rb["e"][j, :mm] = a["e"][sel]
+        rb["ccb"][j, :mm] = a["ccb"][sel]
+        rb["cce"][j, :mm] = a["cce"][sel]
+        rb_pe[j, :mm] = a["pe"][sel]
+
+    max_cc_o = np.maximum(rb["ccb"], rb["cce"])
+    lf_ccb = LOGFACT[np.minimum(rb["ccb"], 32767)]
+    lf_cce = LOGFACT[np.minimum(rb["cce"], 32767)]
+    flip = np.where(cols_m[None, :] < m_rel[:, None],
+                    m_rel[:, None] - 1 - cols_m[None, :],
+                    cols_m[None, :])
+
+    def rev(a):
+        return np.take_along_axis(a, flip, axis=1)
+
+    # ---- TWO transfer blobs (per-array transfer costs ~20ms) ---------
+    iblob = np.concatenate([
+        fI["b"].ravel(), fI["e"].ravel(), fI["cb"].ravel(),
+        fI["ce"].ravel(), fI["ccb"].ravel(), fI["cce"].ravel(),
+        idx_desc.ravel(), idx_asc.ravel(), is_rel.ravel(),
+        live_n.astype(np.int32).ravel(), n_pad,
+        np.concatenate([rb["b"], rev(rb["e"]) - 1]).ravel(),
+        np.concatenate([rb["ccb"], rev(rb["cce"])]).ravel(),
+        np.concatenate([rb["e"] - 1, rev(rb["b"])]).ravel(),
+        np.concatenate([rb["cce"], rev(rb["ccb"])]).ravel(),
+        np.concatenate([max_cc_o, rev(max_cc_o)]).ravel(),
+        rel_cols.ravel(),
+        np.concatenate([m_rel, m_rel]),
+        np.concatenate([plen_rel, plen_rel]),
+        np.concatenate([np.ones(R, np.int32), np.zeros(R, np.int32)]),
+        rel_rows_arr,
+    ]).astype(np.int32)
+    fblob = np.concatenate([
+        fF["pe"].ravel(), fF["peob"].ravel(), fF["peoe"].ravel(),
+        fF["lf_cb"].ravel(), fF["lf_ce"].ravel(),
+        np.concatenate([rb_pe, rev(rb_pe)]).ravel(),
+        np.concatenate([lf_ccb, rev(lf_cce)]).ravel(),
+        np.concatenate([lf_cce, rev(lf_ccb)]).ravel()])
+
+    meta = (rows, ns, cat, row_flat, col_flat)
+    return fblob, iblob, (Bn, max_n, 2 * R, max_m), meta
+
+
 class TpuEngine:
     def __init__(self, gm: GlobalModel, batch_size: int = 512):
         self.gm = gm
@@ -103,131 +224,64 @@ class TpuEngine:
         nrels: list[int] = [0] * B
         todo = [i for i in range(B) if len(profiles[i]) > 0]
         if hasattr(self.wall, "wall_stage_batch"):
-            res = self.wall.wall_stage_batch(
+            res_w = self.wall.wall_stage_batch(
                 [seqs[i].encode("ascii") for i in todo],
                 [profiles[i] for i in todo])
-            for i, (arr, nrel) in zip(todo, res):
+            for i, (arr, nrel) in zip(todo, res_w):
                 ivs[i], nrels[i] = arr, nrel
         else:
             for i in todo:
                 ivs[i], nrels[i] = self.wall.wall_stage(
                     seqs[i].encode("ascii"), profiles[i])
 
-        rows = [i for i in range(B) if ivs[i] is not None and len(ivs[i]) > 0]
-        if not rows:
-            return ["N" * len(seqs[i]) for i in range(B)]
-
-        # ---- full interval layout (original order) ----------------------
-        ns = [len(ivs[i]) for i in rows]
-        Bn = _bucket(len(rows))
-        max_n = _bucket(max(ns))
-        cols_n = np.arange(max_n)
-
-        fI = {k: np.zeros((Bn, max_n), np.int32)
-              for k in ("b", "e", "cb", "ce", "ccb", "cce")}
-        fF = {k: np.full((Bn, max_n), NEG_INF)
-              for k in ("pe", "peob", "peoe")}
-        is_rel = np.zeros((Bn, max_n), np.int32)
-        n_pad = np.zeros(Bn, np.int32)
-        fI["e"][:] = 1
-        for r, i in enumerate(rows):
-            a, nn = ivs[i], ns[r]
-            n_pad[r] = nn
-            for k in ("b", "e", "cb", "ce", "ccb", "cce"):
-                fI[k][r, :nn] = a[k]
-            fF["pe"][r, :nn] = a["pe"]
-            fF["peob"][r, :nn] = a["pe_o_b"]
-            fF["peoe"][r, :nn] = a["pe_o_e"]
-            is_rel[r, :nn] = a["is_rel"]
-
-        live_n = cols_n[None, :] < n_pad[:, None]
-        keys = np.where(live_n, np.minimum(fI["cb"], fI["ce"]),
-                        np.int64(1) << 40)
-        iord = np.argsort(keys, axis=1, kind="stable").astype(np.int32)
-        pos_desc = np.clip(n_pad[:, None] - 1 - cols_n[None, :], 0, max_n - 1)
-        idx_desc = np.take_along_axis(iord, pos_desc, axis=1)
-        idx_desc[~live_n] = 0
-        idx_asc = np.where(live_n, iord, 0)
-
-        # ---- reliable-interval batch (merged fw + bw rows) ---------------
-        rel_pos = [r for r, i in enumerate(rows) if nrels[i] > 0]
-        R = _bucket(max(len(rel_pos), 1))
-        ms = [nrels[rows[r]] for r in rel_pos]
-        max_m = _bucket(max(ms) if ms else 1)
-        cols_m = np.arange(max_m)
-
-        rb = {k: np.zeros((R, max_m), np.int32)
-              for k in ("b", "e", "ccb", "cce")}
-        rb["e"][:] = 1
-        rb["ccb"][:] = 1
-        rb["cce"][:] = 1
-        rb_pe = np.full((R, max_m), NEG_INF)
-        m_rel = np.ones(R, np.int32)
-        plen_rel = np.ones(R, np.int32)
-        rel_rows_arr = np.full(R, Bn, np.int32)            # sentinel: drop
-        rel_cols = np.full((R, max_m), max_n, np.int32)    # sentinel: drop
-        for j, r in enumerate(rel_pos):
-            i = rows[r]
-            a = ivs[i]
-            sel = np.nonzero(a["is_rel"])[0]
-            mm = len(sel)
-            m_rel[j] = mm
-            plen_rel[j] = len(profiles[i])
-            rel_rows_arr[j] = r
-            rel_cols[j, :mm] = sel
-            rb["b"][j, :mm] = a["b"][sel]
-            rb["e"][j, :mm] = a["e"][sel]
-            rb["ccb"][j, :mm] = a["ccb"][sel]
-            rb["cce"][j, :mm] = a["cce"][sel]
-            rb_pe[j, :mm] = a["pe"][sel]
-
-        max_cc_o = np.maximum(rb["ccb"], rb["cce"])
-        flip = np.where(cols_m[None, :] < m_rel[:, None],
-                        m_rel[:, None] - 1 - cols_m[None, :],
-                        cols_m[None, :])
-
-        def rev(a):
-            return np.take_along_axis(a, flip, axis=1)
-
-        # ---- TWO transfer blobs (per-array transfer costs ~20ms) ---------
-        iblob = np.concatenate([
-            fI["b"].ravel(), fI["e"].ravel(), fI["cb"].ravel(),
-            fI["ce"].ravel(), fI["ccb"].ravel(), fI["cce"].ravel(),
-            idx_desc.ravel(), idx_asc.ravel(), is_rel.ravel(),
-            live_n.astype(np.int32).ravel(), n_pad,
-            np.concatenate([rb["b"], rev(rb["e"]) - 1]).ravel(),
-            np.concatenate([rb["ccb"], rev(rb["cce"])]).ravel(),
-            np.concatenate([rb["e"] - 1, rev(rb["b"])]).ravel(),
-            np.concatenate([rb["cce"], rev(rb["ccb"])]).ravel(),
-            np.concatenate([max_cc_o, rev(max_cc_o)]).ravel(),
-            rel_cols.ravel(),
-            np.concatenate([m_rel, m_rel]),
-            np.concatenate([plen_rel, plen_rel]),
-            np.concatenate([np.ones(R, np.int32), np.zeros(R, np.int32)]),
-            rel_rows_arr,
-        ]).astype(np.int32)
-        fblob = np.concatenate([
-            fF["pe"].ravel(), fF["peob"].ravel(), fF["peoe"].ravel(),
-            np.concatenate([rb_pe, rev(rb_pe)]).ravel()])
-
-        # ---- ONE device dispatch + ONE sync ------------------------------
-        out = classify_batch_dev(fblob, iblob, self.pp,
-                                 Bn, max_n, 2 * R, max_m)
-        asgn_fin = np.asarray(out)
-
-        # ---- expand to class strings --------------------------------------
-        stoc_lut = np.frombuffer(b"ERHD", dtype=np.uint8)
+        rows_all = [i for i in range(B)
+                    if ivs[i] is not None and len(ivs[i]) > 0]
         res: list[str] = [""] * B
-        for r, i in enumerate(rows):
-            nn = n_pad[r]
-            lens = (fI["e"][r, :nn] - fI["b"][r, :nn])
-            body = stoc_lut[np.repeat(
-                np.clip(asgn_fin[r, :nn], 0, 3).astype(np.int64), lens)]
-            res[i] = "N" * (K - 1) + body.tobytes().decode("ascii")
+        if rows_all:
+            # two length-sorted sub-batches: scan lengths (and so the
+            # table-lookup volume, the dominant device cost) track each
+            # sub-batch's own interval-count maximum; both dispatches are
+            # queued before the first synchronisation
+            order = sorted(rows_all, key=lambda i: len(ivs[i]))
+            half = len(order) // 2 if len(order) >= 64 else 0
+            groups = [g for g in (order[:half], order[half:]) if g]
+            if (len(groups) == 2
+                    and _bucket32(len(ivs[groups[0][-1]]))
+                    == _bucket32(len(ivs[groups[1][-1]]))):
+                groups = [order]
+            pending = [(self._dispatch(g, ivs, nrels, profiles), g)
+                       for g in groups]
+            for (out, meta), g in pending:
+                self._expand(np.asarray(out), meta, res, K)
         for i in range(B):
             if not res[i]:
                 res[i] = "N" * len(seqs[i])
         return res
+
+    # ------------------------------------------------------------------
+    def _dispatch(self, rows, ivs, nrels, profiles):
+        """Pack one read group into the two transfer blobs and dispatch
+        the device program (async; caller synchronises)."""
+        fblob, iblob, dims, meta = pack_chunk(rows, ivs, nrels,
+                                              [len(p) for p in profiles])
+        out = classify_batch_dev(fblob, iblob, self.pp, *dims)
+        return out, meta
+
+    # ------------------------------------------------------------------
+    def _expand(self, asgn_fin, meta, res, K):
+        """Per-interval assignments -> class strings (one flat repeat)."""
+        rows, ns, cat, row_flat, col_flat = meta
+        stoc_lut = np.frombuffer(b"ERHD", dtype=np.uint8)
+        lens_flat = (cat["e"] - cat["b"]).astype(np.int64)
+        asgn_flat = np.clip(asgn_fin[row_flat, col_flat], 0, 3).astype(np.int64)
+        body_all = stoc_lut[np.repeat(asgn_flat, lens_flat)].tobytes()
+        read_off = np.zeros(len(rows) + 1, np.int64)
+        np.cumsum(np.add.reduceat(lens_flat, np.cumsum([0] + ns[:-1])),
+                  out=read_off[1:])
+        prefix = "N" * (K - 1)
+        for r, i in enumerate(rows):
+            res[i] = prefix + body_all[
+                read_off[r]: read_off[r + 1]].decode("ascii")
 
 
 def classify_file_tpu(fastx_path: str, fastk_root: str, coverage: int = 0,

@@ -2,51 +2,51 @@
 
 Redesign of rel_dev.py driven by the measured TPU cost model:
 
-* in-loop table gathers cost ~25ns per gathered element (~5ns/element
-  when the interpolation nodes are fetched as one contiguous 4-vector);
-* one-hot contractions and (B, 4)-shaped vector arithmetic are
-  effectively free on the VPU;
-* every host<->device synchronisation costs a fixed ~30ms round trip,
-  so the whole classification must run as one dispatched program
-  (see device_pipeline.py).
+* a single synchronisation costs ~30ms, so the DP runs inside one
+  device program (device_pipeline.py);
+* inside device loops, op and gather LATENCIES dominate (a table gather
+  serializes on ~200us of latency per iteration regardless of size), and
+  the XLA while-loop scheduler only overlaps work belonging to DISJOINT
+  dataflow chains: slicing one carry tensor does not overlap, separate
+  carry tensors do (measured ~6x).  The scan therefore runs ``lanes``
+  independent row groups, each with its own carry pytree, inside ONE
+  loop — their gathers and vector chains overlap;
+* one-hot contractions and small vector arithmetic are effectively free
+  compared to gathers, so log-factorials at path-carried counts use
+  exact one-hot selections and the traceback selects backpointers with
+  a one-hot-of-4 sum.
 
-What changed vs rel_dev.py (same semantics, byte-validated end to end):
+Semantics vs the reference (byte-validated end to end):
 
-1. **Per-row direction.**  Forward and backward passes
-   (class_rel.c:623,737) run as ONE scan over a merged row batch with a
-   per-row ``fwd`` flag; backward rows are index-reversed by the caller.
-   Direction only flips sign/role selections -> free ``where``s.
-2. **One packed Skellam gather per step.**  All eight Skellam transition
-   evaluations of a step (H/D targets x 4 predecessors) are stacked into
-   a single ``logp_skellam_packed`` call -> one packed-node gather.
-3. **No per-step normalisation.**  The reference normalises transition
-   probabilities per interval (class_rel.c:321-336); subtracting the
-   per-row log-sum from all 16 (s,t) entries shifts every candidate
-   score equally and cannot change any later argmax or comparison, so
-   the log-sum-exp is dropped.  The two *non-uniform* C special cases
-   are kept, detected on raw values: psum underflowing to 0 (all
-   lp < log(DBL_MIN)) -> each (s, ERROR) entry gets prob 1/4; any
-   lp == +inf -> that entry NaN (log(inf/inf) in C), all others -inf.
-4. **Gather-free logfact.**  The R-target binomial's logfact arguments
-   are bounded by the repeat coverage, selected via exact one-hot
-   contractions; data-dependent logfact/emission terms are pre-gathered
-   once per call and fed through scan xs (``lf_bcnt``, ``logpE_all``).
-5. **Packed carry.**  The 12 per-cell path registers live in two
-   tensors (int64 (B,4,16) + bool (B,4,6)); predecessor selection is a
-   single one-hot sum over the 4 predecessors instead of 12
-   take_along_axis gathers.  Traceback likewise selects backpointers
-   with a one-hot-of-4 sum.
+* forward and backward passes (class_rel.c:623,737) run as one scan
+  over merged rows with a per-row ``fwd`` flag (backward rows are
+  index-reversed by the caller; direction only flips sign/role selects);
+* all eight Skellam transition evaluations of a step run as one packed
+  table call per lane;
+* the reference's per-interval probability normalisation
+  (class_rel.c:321-336) subtracts a per-row scalar from all 16 (s,t)
+  entries and cannot change any later argmax/comparison, so the
+  log-sum-exp is dropped; its two non-uniform special cases are kept,
+  detected on raw values (psum underflow -> each (s, ERROR) entry gets
+  prob 1/4; any lp == +inf -> that entry NaN, all others -inf);
+* the O(M^2) backtrack copies (class_rel.c:401-407) become per-cell
+  path registers updated in O(1): last-H/D (position, count), the
+  H-before-D / D-before-H pair feeding calc_dh_ratio
+  (class_rel.c:113-156), and has-H/has-D flags, packed into one int64
+  and one bool tensor per lane.
 """
 
 from __future__ import annotations
 
 import functools
+
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
-from classpro_tpu.tpu.skellam_dev import PackedSkellam, logp_skellam_packed
+from classpro_tpu.tpu.skellam_dev import (PackedSkellam, skellam_args,
+                                          skellam_value)
 
 ERROR, REPEAT, HAPLO, DIPLO, N_STATE = 0, 1, 2, 3, 4
 NEG_INF = float("-inf")
@@ -64,7 +64,7 @@ _EXH, _EXD, _EXHBD, _EXDBH, _HASH, _HASD = range(6)
 
 class RelParams2(NamedTuple):
     ps: PackedSkellam      # packed Skellam interpolation table
-    logfact: jnp.ndarray   # (32768,) f64 (pre-gather terms outside scans)
+    logfact: jnp.ndarray   # (32768,) f64
     lf_small: jnp.ndarray  # (n1,) logfact head for one-hot R-binomial
     read_len: float
     offset: int
@@ -76,8 +76,7 @@ class RelParams2(NamedTuple):
 
 
 def _lf_oh(idx, lf_small):
-    """logfact[idx] by exact one-hot contraction (requires idx within
-    table; callers guarantee idx <= repeat coverage < lf_small.size)."""
+    """logfact[idx] by exact one-hot contraction (idx < lf_small.size)."""
     n1 = lf_small.shape[0]
     i = jnp.clip(idx, 0, n1 - 1)
     oh = jnp.arange(n1) == i[..., None]
@@ -96,45 +95,27 @@ def _sel4(reg, sel):
     return jnp.sum(jnp.where(ohx, regx, 0), axis=2)
 
 
-@functools.partial(jax.jit, static_argnames=("max_m",))
-def rel_dp_pass2(bpos, bcnt, epos, ecnt, max_cc, lf_bcnt, logpE_all,
-                 m, plen, fwd, cov, P: RelParams2, max_m: int):
-    """One merged-direction DP pass over (B, max_m) interval arrays.
-
-    All arrays are in *scan order* (backward rows index-reversed by the
-    caller) with boundary roles resolved per direction: ``bpos/bcnt``
-    enter each interval, ``epos/ecnt`` leave it (the ends() of
-    rel_dev.py, precomputed on device as free wheres).  ``max_cc`` =
-    max(ccb, cce); ``lf_bcnt`` = logfact[bcnt]; ``logpE_all`` = full E
-    emission max(po_b + po_e + E_PO_BASE, pe) — both data-only, shared
-    between the main and rescue passes.
-
-    Returns (asgn int8 (B,max_m) in scan order, final dp (B,4)).
-    """
-    B = bpos.shape[0]
-    fwd = fwd.astype(bool)
-    OFF = jnp.where(fwd, P.offset, -P.offset).astype(jnp.int64)   # (B,)
-    PSTEP = jnp.where(fwd, 1, -1).astype(jnp.int64)
-
-    covR = cov[:, REPEAT].astype(jnp.int64)
-    covH = cov[:, HAPLO].astype(jnp.int64)
+def _lane_init(L, P: RelParams2):
+    """Initial DP cell (class_rel.c:544-595) for one lane's row dict."""
+    B = L["bpos"].shape[0]
+    cov, fwd = L["cov"], L["fwd"]
+    OFF, covR, covH = L["OFF"], L["covR"], L["covH"]
     covHf = cov[:, HAPLO].astype(jnp.float64)
     covDf = cov[:, DIPLO].astype(jnp.float64)
 
-    # ---------------- init cell (class_rel.c:544-595) -------------------
     pos_init = jnp.where(fwd, -jnp.int64(P.offset),
-                         plen.astype(jnp.int64) + P.offset)
-    bcnt0 = bcnt[:, 0]
-    ecnt0 = ecnt[:, 0]
-    epos0 = epos[:, 0]
-    lf_b0 = lf_bcnt[:, 0]
+                         L["plen"].astype(jnp.int64) + P.offset)
+    bcnt0 = L["bcnt"][:, 0]
+    ecnt0 = L["ecnt"][:, 0]
+    epos0 = L["epos"][:, 0]
+    lf_b0 = L["lf_bcnt"][:, 0]
 
     regs_i = jnp.zeros((B, 4, 16), jnp.int64)
     regs_i = regs_i.at[:, :, _SP:_SP + 4].set(pos_init[:, None, None])
     regs_i = regs_i.at[:, :, _SC:_SC + 4].set(
         cov[:, None, :].astype(jnp.int64))
 
-    dpE = logpE_all[:, 0]
+    dpE = L["logpE"][:, 0]
 
     st_r_cnt = covR
     lf_r = _lf_oh(st_r_cnt, P.lf_small)
@@ -143,7 +124,7 @@ def rel_dp_pass2(bpos, bcnt, epos, ecnt, max_cc, lf_bcnt, logpE_all,
         bcnt0 < st_r_cnt,
         lf_r - lf_b0 - lf_rd + bcnt0 * P.log_1m_pe_mean
         + (st_r_cnt - bcnt0) * P.log_pe_mean, NEG_INF)
-    max_cc0 = max_cc[:, 0]
+    max_cc0 = L["max_cc"][:, 0]
     dpR = jnp.where(
         logp_er > P.r_logp, logp_er,
         jnp.where((max_cc0 >= cov[:, REPEAT]) | (max_cc0 >= st_r_cnt),
@@ -177,270 +158,336 @@ def rel_dp_pass2(bpos, bcnt, epos, ecnt, max_cc, lf_bcnt, logpE_all,
 
     dp0 = jnp.stack([dpE, dpR, dpH, dpD], axis=1)
     dh0 = jnp.full((B, 4), NEG_INF)
-    eff0 = e2
+    return (dp0, dh0, regs_i, regs_b, e2)
 
-    # ---------------- scan body (class_rel.c:279-513) --------------------
+
+def _lane_step(carry, xs, consts, P: RelParams2):
+    """One DP step (class_rel.c:279-513) for one lane."""
+    dp, dh, regs_i, regs_b, eff = carry
+    bpos_i, bcnt_i, epos_i, ecnt_i, max_cc_i, lf_b_i, logpE_i, i = xs
+    cov, fwd = consts["cov"], consts["fwd"]
+    OFF, PSTEP = consts["OFF"], consts["PSTEP"]
+    covR, covH, m = consts["covR"], consts["covH"], consts["m"]
+    B = dp.shape[0]
     iota4 = jnp.arange(4)[None, :]
 
-    def body(carry, xs):
-        dp, dh, regs_i, regs_b, eff = carry
-        bpos_i, bcnt_i, epos_i, ecnt_i, max_cc_i, lf_b_i, logpE_i, i = xs
+    st_pos = regs_i[:, :, _SP:_SP + 4]
+    st_cnt = regs_i[:, :, _SC:_SC + 4]
 
-        st_pos = regs_i[:, :, _SP:_SP + 4]
-        st_cnt = regs_i[:, :, _SC:_SC + 4]
+    logpE = jnp.broadcast_to(logpE_i[:, None], (B, 4))
 
-        logpE = jnp.broadcast_to(logpE_i[:, None], (B, 4))
+    # R target emission (class_rel.c:172-211 via carried repeat count)
+    strc = st_cnt[:, :, REPEAT]                              # (B, 4)
+    lf_strc = _lf_oh(strc, P.lf_small)
+    lf_sd = _lf_oh(strc - bcnt_i[:, None], P.lf_small)
+    logp_er_r = jnp.where(
+        bcnt_i[:, None] < strc,
+        lf_strc - lf_b_i[:, None] - lf_sd
+        + bcnt_i[:, None] * P.log_1m_pe_mean
+        + (strc - bcnt_i[:, None]) * P.log_pe_mean, NEG_INF)
+    logpR = jnp.where(
+        logp_er_r > P.r_logp, logp_er_r,
+        jnp.where((max_cc_i[:, None] >= cov[:, REPEAT][:, None])
+                  | (max_cc_i[:, None] >= strc),
+                  P.r_logp, logp_er_r))
 
-        # R target emission (class_rel.c:172-211 via st repeat count)
-        strc = st_cnt[:, :, REPEAT]                              # (B, 4)
-        lf_strc = _lf_oh(strc, P.lf_small)
-        lf_sd = _lf_oh(strc - bcnt_i[:, None], P.lf_small)
-        logp_er_r = jnp.where(
-            bcnt_i[:, None] < strc,
-            lf_strc - lf_b_i[:, None] - lf_sd
-            + bcnt_i[:, None] * P.log_1m_pe_mean
-            + (strc - bcnt_i[:, None]) * P.log_pe_mean, NEG_INF)
-        logpR = jnp.where(
-            logp_er_r > P.r_logp, logp_er_r,
-            jnp.where((max_cc_i[:, None] >= cov[:, REPEAT][:, None])
-                      | (max_cc_i[:, None] >= strc),
-                      P.r_logp, logp_er_r))
+    # H/D targets: ONE batched Skellam call per lane
+    sth_p = st_pos[:, :, HAPLO]
+    sth_c = st_cnt[:, :, HAPLO]
+    std_p = st_pos[:, :, DIPLO]
+    std_c = st_cnt[:, :, DIPLO]
+    use_ratio = dh != NEG_INF
+    h_cb = jnp.where(use_ratio, std_c, sth_c)
+    h_pos = jnp.where(use_ratio, std_p, sth_p)
+    h_ce = jnp.where(use_ratio,
+                     (dh * bcnt_i[:, None]).astype(jnp.int64),
+                     bcnt_i[:, None])
+    kH = h_ce - h_cb
+    lamH = (h_cb.astype(jnp.float64)
+            * jnp.abs(bpos_i[:, None] - (h_pos - PSTEP[:, None]))
+            / P.read_len)
+    kD = bcnt_i[:, None] - std_c
+    lamD = (std_c.astype(jnp.float64)
+            * jnp.abs(bpos_i[:, None] - (std_p - PSTEP[:, None]))
+            / P.read_len)
+    k_all = jnp.stack([kH, kD], axis=1)                      # (B, 2, 4)
+    lam_all = jnp.stack([lamH, lamD], axis=1)
+    n_, idx_, f_, in_a, x_, ka = skellam_args(k_all, lam_all)
+    nodes = P.ps.tab[n_, idx_]
+    lp_hd = skellam_value(nodes, P.ps, n_, f_, in_a, x_, ka,
+                          jnp.asarray(lam_all, jnp.float64))
+    logpH, logpD = lp_hd[:, 0, :], lp_hd[:, 1, :]
 
-        # H/D targets: ONE batched Skellam call (see module docstring)
-        sth_p = st_pos[:, :, HAPLO]
-        sth_c = st_cnt[:, :, HAPLO]
-        std_p = st_pos[:, :, DIPLO]
-        std_c = st_cnt[:, :, DIPLO]
-        use_ratio = dh != NEG_INF
-        h_cb = jnp.where(use_ratio, std_c, sth_c)
-        h_pos = jnp.where(use_ratio, std_p, sth_p)
-        h_ce = jnp.where(use_ratio,
-                         (dh * bcnt_i[:, None]).astype(jnp.int64),
-                         bcnt_i[:, None])
-        kH = h_ce - h_cb
-        lamH = (h_cb.astype(jnp.float64)
-                * jnp.abs(bpos_i[:, None] - (h_pos - PSTEP[:, None]))
-                / P.read_len)
-        kD = bcnt_i[:, None] - std_c
-        lamD = (std_c.astype(jnp.float64)
-                * jnp.abs(bpos_i[:, None] - (std_p - PSTEP[:, None]))
-                / P.read_len)
-        k_all = jnp.stack([kH, kD], axis=1)                      # (B, 2, 4)
-        lam_all = jnp.stack([lamH, lamD], axis=1)
-        lp_hd = logp_skellam_packed(k_all, lam_all, P.ps)
-        logpH, logpD = lp_hd[:, 0, :], lp_hd[:, 1, :]
+    logp_st = jnp.stack([logpE, logpR, logpH, logpD], axis=2)
+    # Normalisation dropped (argmax-invariant); C special cases kept:
+    lp = jnp.where((dp == NEG_INF)[:, :, None], NEG_INF, logp_st)
+    mx = jnp.max(lp, axis=(1, 2))
+    has_inf = jnp.isposinf(mx)
+    zero = mx < -745.13  # C: psum == 0.0 (all exp underflow)
+    logp_tr = jnp.where(
+        has_inf[:, None, None],
+        jnp.where(jnp.isposinf(lp), jnp.nan, NEG_INF), lp)
+    logp_tr = jnp.where(
+        zero[:, None, None],
+        jnp.where(jnp.arange(4)[None, None, :] == ERROR,
+                  jnp.log(0.25), NEG_INF), logp_tr)
 
-        logp_st = jnp.stack([logpE, logpR, logpH, logpD], axis=2)
-        # Normalisation dropped (argmax-invariant); C special cases kept:
-        lp = jnp.where((dp == NEG_INF)[:, :, None], NEG_INF, logp_st)
-        mx = jnp.max(lp, axis=(1, 2))
-        has_inf = jnp.isposinf(mx)
-        zero = mx < -745.13  # C: psum == 0.0 (all exp underflow)
-        logp_tr = jnp.where(
-            has_inf[:, None, None],
-            jnp.where(jnp.isposinf(lp), jnp.nan, NEG_INF), lp)
-        logp_tr = jnp.where(
-            zero[:, None, None],
-            jnp.where(jnp.arange(4)[None, None, :] == ERROR,
-                      jnp.log(0.25), NEG_INF), logp_tr)
+    # ---- only_r (class_rel.c:348-356)
+    scores = dp[:, :, None] + logp_tr
+    best_t = jnp.argmax(scores, axis=2)
+    dead_s = jnp.max(scores, axis=2) == NEG_INF
+    only_r = jnp.all(dead_s | (best_t == REPEAT), axis=1)
 
-        # ---- only_r (class_rel.c:348-356)
-        scores = dp[:, :, None] + logp_tr
-        best_t = jnp.argmax(scores, axis=2)
-        dead_s = jnp.max(scores, axis=2) == NEG_INF
-        only_r = jnp.all(dead_s | (best_t == REPEAT), axis=1)
+    # ---- HH/DD coupling (class_rel.c:383-386)
+    colH = scores[:, :, HAPLO]
+    colD = scores[:, :, DIPLO]
+    maxs_h = jnp.where(jnp.max(colH, axis=1) == NEG_INF, N_STATE,
+                       jnp.argmax(colH, axis=1))
+    maxs_d = jnp.where(jnp.max(colD, axis=1) == NEG_INF, N_STATE,
+                       jnp.argmax(colD, axis=1))
+    couple = (maxs_h == HAPLO) & (maxs_d == DIPLO)
+    mcoup = jnp.minimum(logp_tr[:, HAPLO, HAPLO],
+                        logp_tr[:, DIPLO, DIPLO])
+    logp_tr = logp_tr.at[:, HAPLO, HAPLO].set(
+        jnp.where(couple, mcoup, logp_tr[:, HAPLO, HAPLO]))
+    logp_tr = logp_tr.at[:, DIPLO, DIPLO].set(
+        jnp.where(couple, mcoup, logp_tr[:, DIPLO, DIPLO]))
+    scores = dp[:, :, None] + logp_tr
 
-        # ---- HH/DD coupling (class_rel.c:383-386)
-        colH = scores[:, :, HAPLO]
-        colD = scores[:, :, DIPLO]
-        maxs_h = jnp.where(jnp.max(colH, axis=1) == NEG_INF, N_STATE,
-                           jnp.argmax(colH, axis=1))
-        maxs_d = jnp.where(jnp.max(colD, axis=1) == NEG_INF, N_STATE,
-                           jnp.argmax(colD, axis=1))
-        couple = (maxs_h == HAPLO) & (maxs_d == DIPLO)
-        mcoup = jnp.minimum(logp_tr[:, HAPLO, HAPLO],
-                            logp_tr[:, DIPLO, DIPLO])
-        logp_tr = logp_tr.at[:, HAPLO, HAPLO].set(
-            jnp.where(couple, mcoup, logp_tr[:, HAPLO, HAPLO]))
-        logp_tr = logp_tr.at[:, DIPLO, DIPLO].set(
-            jnp.where(couple, mcoup, logp_tr[:, DIPLO, DIPLO]))
-        scores = dp[:, :, None] + logp_tr
+    # ---- per-target best pred (class_rel.c:390-397)
+    max_s = jnp.argmax(scores, axis=1)      # (B, t); ties -> E<R<H<D
+    max_v = jnp.max(scores, axis=1)
+    dead_t = max_v == NEG_INF
+    sel = jnp.where(dead_t, 0, max_s)
 
-        # ---- per-target best pred (class_rel.c:390-397)
-        max_s = jnp.argmax(scores, axis=1)      # (B, t); ties -> E<R<H<D
-        max_v = jnp.max(scores, axis=1)
-        dead_t = max_v == NEG_INF
-        sel = jnp.where(dead_t, 0, max_s)
+    regs_i_n = _sel4(regs_i, sel)
+    regs_b_n = _sel4(regs_b, sel)
+    st_pos_n = regs_i_n[:, :, _SP:_SP + 4]
+    st_cnt_n = regs_i_n[:, :, _SC:_SC + 4]
+    lastH_n = regs_i_n[:, :, _LH:_LH + 2]
+    lastD_n = regs_i_n[:, :, _LD:_LD + 2]
+    lastHbD_n = regs_i_n[:, :, _LHBD:_LHBD + 2]
+    lastDbH_n = regs_i_n[:, :, _LDBH:_LDBH + 2]
+    exH_n = regs_b_n[:, :, _EXH]
+    exD_n = regs_b_n[:, :, _EXD]
+    exHbD_n = regs_b_n[:, :, _EXHBD]
+    exDbH_n = regs_b_n[:, :, _EXDBH]
+    hasH_n = regs_b_n[:, :, _HASH]
+    hasD_n = regs_b_n[:, :, _HASD]
 
-        regs_i_n = _sel4(regs_i, sel)
-        regs_b_n = _sel4(regs_b, sel)
-        st_pos_n = regs_i_n[:, :, _SP:_SP + 4]
-        st_cnt_n = regs_i_n[:, :, _SC:_SC + 4]
-        lastH_n = regs_i_n[:, :, _LH:_LH + 2]
-        lastD_n = regs_i_n[:, :, _LD:_LD + 2]
-        lastHbD_n = regs_i_n[:, :, _LHBD:_LHBD + 2]
-        lastDbH_n = regs_i_n[:, :, _LDBH:_LDBH + 2]
-        exH_n = regs_b_n[:, :, _EXH]
-        exD_n = regs_b_n[:, :, _EXD]
-        exHbD_n = regs_b_n[:, :, _EXHBD]
-        exDbH_n = regs_b_n[:, :, _EXDBH]
-        hasH_n = regs_b_n[:, :, _HASH]
-        hasD_n = regs_b_n[:, :, _HASD]
+    off_end = epos_i[:, None] - OFF[:, None]                 # (B, 1)
 
-        off_end = epos_i[:, None] - OFF[:, None]                 # (B, 1)
+    # REPEAT target st (class_rel.c:413-425)
+    rp = st_pos_n[:, REPEAT, :]
+    rc = st_cnt_n[:, REPEAT, :]
+    r_cnt = jnp.minimum(ecnt_i, covR)
+    keep_r = rc[:, REPEAT] < r_cnt
+    newR_pos = rp.at[:, HAPLO].set(off_end[:, 0])
+    newR_pos = newR_pos.at[:, DIPLO].set(off_end[:, 0])
+    newR_pos = newR_pos.at[:, REPEAT].set(
+        jnp.where(keep_r, rp[:, REPEAT], off_end[:, 0]))
+    newR_cnt = rc.at[:, REPEAT].set(
+        jnp.where(keep_r, rc[:, REPEAT], r_cnt))
 
-        # REPEAT target st (class_rel.c:413-425)
-        rp = st_pos_n[:, REPEAT, :]
-        rc = st_cnt_n[:, REPEAT, :]
-        r_cnt = jnp.minimum(ecnt_i, covR)
-        keep_r = rc[:, REPEAT] < r_cnt
-        newR_pos = rp.at[:, HAPLO].set(off_end[:, 0])
-        newR_pos = newR_pos.at[:, DIPLO].set(off_end[:, 0])
-        newR_pos = newR_pos.at[:, REPEAT].set(
-            jnp.where(keep_r, rp[:, REPEAT], off_end[:, 0]))
-        newR_cnt = rc.at[:, REPEAT].set(
-            jnp.where(keep_r, rc[:, REPEAT], r_cnt))
+    # dh ratio from registers (calc_dh_ratio, class_rel.c:113-156)
+    def dh_ratio_of(init_s: int):
+        if init_s == HAPLO:
+            o2, oe2 = lastD_n[:, HAPLO, :], exD_n[:, HAPLO]
+            o3, oe3 = lastHbD_n[:, HAPLO, :], exHbD_n[:, HAPLO]
+        else:
+            o2, oe2 = lastH_n[:, DIPLO, :], exH_n[:, DIPLO]
+            o3, oe3 = lastDbH_n[:, DIPLO, :], exDbH_n[:, DIPLO]
+        ok = oe2 & oe3
+        s1p, s1c = bpos_i.astype(jnp.int64), bcnt_i
+        tp, tc = o2[:, 0], o2[:, 1]
+        s2p, s2c = o3[:, 0], o3[:, 1]
+        # class_rel.c:134-138: the backward pass swaps s1 and s2
+        s1p_, s1c_ = (jnp.where(fwd, s1p, s2p), jnp.where(fwd, s1c, s2c))
+        s2p_, s2c_ = (jnp.where(fwd, s2p, s1p), jnp.where(fwd, s2c, s1c))
+        est = (s2c_.astype(jnp.float64)
+               + (s1c_ - s2c_).astype(jnp.float64)
+               * (tp - s2p_) / (s1p_ - s2p_))
+        r = est / tc if init_s == DIPLO else tc / est
+        return jnp.where(ok, r, NEG_INF)
 
-        # dh ratio from registers (calc_dh_ratio, class_rel.c:113-156)
-        def dh_ratio_of(init_s: int):
-            if init_s == HAPLO:
-                o2, oe2 = lastD_n[:, HAPLO, :], exD_n[:, HAPLO]
-                o3, oe3 = lastHbD_n[:, HAPLO, :], exHbD_n[:, HAPLO]
-            else:
-                o2, oe2 = lastH_n[:, DIPLO, :], exH_n[:, DIPLO]
-                o3, oe3 = lastDbH_n[:, DIPLO, :], exDbH_n[:, DIPLO]
-            ok = oe2 & oe3
-            s1p, s1c = bpos_i.astype(jnp.int64), bcnt_i
-            tp, tc = o2[:, 0], o2[:, 1]
-            s2p, s2c = o3[:, 0], o3[:, 1]
-            # class_rel.c:134-138: the backward pass swaps s1 and s2
-            s1p_, s1c_ = (jnp.where(fwd, s1p, s2p), jnp.where(fwd, s1c, s2c))
-            s2p_, s2c_ = (jnp.where(fwd, s2p, s1p), jnp.where(fwd, s2c, s1c))
-            est = (s2c_.astype(jnp.float64)
-                   + (s1c_ - s2c_).astype(jnp.float64)
-                   * (tp - s2p_) / (s1p_ - s2p_))
-            r = est / tc if init_s == DIPLO else tc / est
-            return jnp.where(ok, r, NEG_INF)
+    rH = dh_ratio_of(HAPLO)
+    rD = dh_ratio_of(DIPLO)
 
-        rH = dh_ratio_of(HAPLO)
-        rD = dh_ratio_of(DIPLO)
+    # HAPLO target (class_rel.c:426-459)
+    curr_h_H = ecnt_i
+    curr_d_H = jnp.where(
+        rH != NEG_INF, (rH * curr_h_H).astype(jnp.int64),
+        jnp.where(hasD_n[:, HAPLO], st_cnt_n[:, HAPLO, DIPLO],
+                  curr_h_H + covH))
+    curr_r_H = (P.dr_ratio * curr_d_H).astype(jnp.int64)
 
-        # HAPLO target (class_rel.c:426-459)
-        curr_h_H = ecnt_i
-        curr_d_H = jnp.where(
-            rH != NEG_INF, (rH * curr_h_H).astype(jnp.int64),
-            jnp.where(hasD_n[:, HAPLO], st_cnt_n[:, HAPLO, DIPLO],
-                      curr_h_H + covH))
-        curr_r_H = (P.dr_ratio * curr_d_H).astype(jnp.int64)
+    # DIPLO target (class_rel.c:460-493)
+    curr_d_D = ecnt_i
+    curr_h_D = jnp.where(
+        rD != NEG_INF, (curr_d_D / rD).astype(jnp.int64),
+        jnp.where(hasH_n[:, DIPLO], st_cnt_n[:, DIPLO, HAPLO],
+                  jnp.maximum(curr_d_D // 2, curr_d_D - covH)))
+    curr_r_D = (P.dr_ratio * curr_d_D).astype(jnp.int64)
 
-        # DIPLO target (class_rel.c:460-493)
-        curr_d_D = ecnt_i
-        curr_h_D = jnp.where(
-            rD != NEG_INF, (curr_d_D / rD).astype(jnp.int64),
-            jnp.where(hasH_n[:, DIPLO], st_cnt_n[:, DIPLO, HAPLO],
-                      jnp.maximum(curr_d_D // 2, curr_d_D - covH)))
-        curr_r_D = (P.dr_ratio * curr_d_D).astype(jnp.int64)
+    new_st_pos, new_st_cnt = st_pos_n, st_cnt_n
+    new_st_pos = new_st_pos.at[:, REPEAT, :].set(newR_pos)
+    new_st_cnt = new_st_cnt.at[:, REPEAT, :].set(newR_cnt)
+    for cell, trip in ((HAPLO, (curr_h_H, curr_d_H, curr_r_H)),
+                       (DIPLO, (curr_h_D, curr_d_D, curr_r_D))):
+        h, d, r_ = trip
+        for slot, cnt in ((HAPLO, h), (DIPLO, d), (REPEAT, r_)):
+            new_st_pos = new_st_pos.at[:, cell, slot].set(off_end[:, 0])
+            new_st_cnt = new_st_cnt.at[:, cell, slot].set(cnt)
 
-        new_st_pos, new_st_cnt = st_pos_n, st_cnt_n
-        new_st_pos = new_st_pos.at[:, REPEAT, :].set(newR_pos)
-        new_st_cnt = new_st_cnt.at[:, REPEAT, :].set(newR_cnt)
-        for cell, trip in ((HAPLO, (curr_h_H, curr_d_H, curr_r_H)),
-                           (DIPLO, (curr_h_D, curr_d_D, curr_r_D))):
-            h, d, r_ = trip
-            for slot, cnt in ((HAPLO, h), (DIPLO, d), (REPEAT, r_)):
-                new_st_pos = new_st_pos.at[:, cell, slot].set(off_end[:, 0])
-                new_st_cnt = new_st_cnt.at[:, cell, slot].set(cnt)
+    new_dh = jnp.full((B, 4), NEG_INF)
+    new_dh = new_dh.at[:, HAPLO].set(rH).at[:, DIPLO].set(rD)
 
-        new_dh = jnp.full((B, 4), NEG_INF)
-        new_dh = new_dh.at[:, HAPLO].set(rH).at[:, DIPLO].set(rD)
+    gate = ((new_st_cnt[:, :, HAPLO] < new_st_cnt[:, :, DIPLO])
+            & (new_st_cnt[:, :, DIPLO] < new_st_cnt[:, :, REPEAT]))
+    new_dp = jnp.where(dead_t | ~gate, NEG_INF, max_v)
 
-        gate = ((new_st_cnt[:, :, HAPLO] < new_st_cnt[:, :, DIPLO])
-                & (new_st_cnt[:, :, DIPLO] < new_st_cnt[:, :, REPEAT]))
-        new_dp = jnp.where(dead_t | ~gate, NEG_INF, max_v)
+    # path registers: extend with target t
+    cur2 = jnp.broadcast_to(
+        jnp.stack([epos_i, ecnt_i], axis=1)[:, None, :], (B, 4, 2))
+    isH = iota4 == HAPLO
+    isD = iota4 == DIPLO
+    new_regs_i = jnp.concatenate([
+        new_st_pos, new_st_cnt,
+        jnp.where(isH[:, :, None], cur2, lastH_n),
+        jnp.where(isD[:, :, None], cur2, lastD_n),
+        jnp.where(isD[:, :, None], lastH_n, lastHbD_n),
+        jnp.where(isH[:, :, None], lastD_n, lastDbH_n)], axis=2)
+    new_regs_b = jnp.stack([
+        exH_n | isH, exD_n | isD,
+        jnp.where(isD, exH_n, exHbD_n),
+        jnp.where(isH, exD_n, exDbH_n),
+        hasH_n | isH, hasD_n | isD], axis=2)
 
-        # path registers: extend with target t
-        cur2 = jnp.broadcast_to(
-            jnp.stack([epos_i, ecnt_i], axis=1)[:, None, :], (B, 4, 2))
-        isH = iota4 == HAPLO
-        isD = iota4 == DIPLO
-        new_regs_i = jnp.concatenate([
-            new_st_pos, new_st_cnt,
-            jnp.where(isH[:, :, None], cur2, lastH_n),
-            jnp.where(isD[:, :, None], cur2, lastD_n),
-            jnp.where(isD[:, :, None], lastH_n, lastHbD_n),
-            jnp.where(isH[:, :, None], lastD_n, lastDbH_n)], axis=2)
-        new_regs_b = jnp.stack([
-            exH_n | isH, exD_n | isD,
-            jnp.where(isD, exH_n, exHbD_n),
-            jnp.where(isH, exD_n, exDbH_n),
-            hasH_n | isH, hasD_n | isD], axis=2)
+    # ---- only_r overrides (class_rel.c:357-380): same-state copy
+    alive = dp != NEG_INF
+    eff2 = jnp.broadcast_to(eff[:, None, :], (B, 4, 2))
+    oH = isH & alive
+    oD = isD & alive
+    o_regs_i = jnp.concatenate([
+        regs_i[:, :, _SP:_SC + 4],
+        jnp.where(oH[:, :, None], eff2, regs_i[:, :, _LH:_LH + 2]),
+        jnp.where(oD[:, :, None], eff2, regs_i[:, :, _LD:_LD + 2]),
+        jnp.where(oD[:, :, None], regs_i[:, :, _LH:_LH + 2],
+                  regs_i[:, :, _LHBD:_LHBD + 2]),
+        jnp.where(oH[:, :, None], regs_i[:, :, _LD:_LD + 2],
+                  regs_i[:, :, _LDBH:_LDBH + 2])], axis=2)
+    o_regs_b = jnp.stack([
+        regs_b[:, :, _EXH] | oH, regs_b[:, :, _EXD] | oD,
+        jnp.where(oD, regs_b[:, :, _EXH], regs_b[:, :, _EXHBD]),
+        jnp.where(oH, regs_b[:, :, _EXD], regs_b[:, :, _EXDBH]),
+        regs_b[:, :, _HASH] | oH, regs_b[:, :, _HASD] | oD], axis=2)
 
-        # ---- only_r overrides (class_rel.c:357-380): same-state copy
-        alive = dp != NEG_INF
-        eff2 = jnp.broadcast_to(eff[:, None, :], (B, 4, 2))
-        oH = isH & alive
-        oD = isD & alive
-        o_regs_i = jnp.concatenate([
-            regs_i[:, :, _SP:_SC + 4],
-            jnp.where(oH[:, :, None], eff2, regs_i[:, :, _LH:_LH + 2]),
-            jnp.where(oD[:, :, None], eff2, regs_i[:, :, _LD:_LD + 2]),
-            jnp.where(oD[:, :, None], regs_i[:, :, _LH:_LH + 2],
-                      regs_i[:, :, _LHBD:_LHBD + 2]),
-            jnp.where(oH[:, :, None], regs_i[:, :, _LD:_LD + 2],
-                      regs_i[:, :, _LDBH:_LDBH + 2])], axis=2)
-        o_regs_b = jnp.stack([
-            regs_b[:, :, _EXH] | oH, regs_b[:, :, _EXD] | oD,
-            jnp.where(oD, regs_b[:, :, _EXH], regs_b[:, :, _EXHBD]),
-            jnp.where(oH, regs_b[:, :, _EXD], regs_b[:, :, _EXDBH]),
-            regs_b[:, :, _HASH] | oH, regs_b[:, :, _HASD] | oD], axis=2)
+    live = i < m
 
-        live = i < m
+    def pick(upd, onr, old):
+        shape = (B,) + (1,) * (upd.ndim - 1)
+        return jnp.where(live.reshape(shape),
+                         jnp.where(only_r.reshape(shape), onr, upd), old)
 
-        def pick(upd, onr, old):
-            shape = (B,) + (1,) * (upd.ndim - 1)
-            return jnp.where(live.reshape(shape),
-                             jnp.where(only_r.reshape(shape), onr, upd), old)
+    carry_n = (
+        pick(new_dp, dp, dp),
+        pick(new_dh, jnp.full((B, 4), NEG_INF), dh),
+        pick(new_regs_i, o_regs_i, regs_i),
+        pick(new_regs_b, o_regs_b, regs_b),
+        pick(jnp.stack([epos_i, ecnt_i], axis=1), eff, eff),
+    )
+    bp = jnp.where(live[:, None],
+                   jnp.where(only_r[:, None], iota4,
+                             jnp.where(dead_t, N_STATE, max_s)),
+                   N_STATE).astype(jnp.int8)
+    return carry_n, (bp, live & only_r)
 
-        carry_n = (
-            pick(new_dp, dp, dp),
-            pick(new_dh, jnp.full((B, 4), NEG_INF), dh),
-            pick(new_regs_i, o_regs_i, regs_i),
-            pick(new_regs_b, o_regs_b, regs_b),
-            pick(jnp.stack([epos_i, ecnt_i], axis=1), eff, eff),
-        )
-        bp = jnp.where(live[:, None],
-                       jnp.where(only_r[:, None], iota4,
-                                 jnp.where(dead_t, N_STATE, max_s)),
-                       N_STATE).astype(jnp.int8)
-        return carry_n, (bp, live & only_r)
 
+@functools.partial(jax.jit, static_argnames=("max_m", "lanes"))
+def rel_dp_pass2(bpos, bcnt, epos, ecnt, max_cc, lf_bcnt, logpE_all,
+                 m, plen, fwd, cov, P: RelParams2, max_m: int,
+                 lanes: int = 1):
+    """One merged-direction DP pass over (B, max_m) interval arrays.
+
+    All arrays are in *scan order* (backward rows index-reversed by the
+    caller) with boundary roles resolved per direction: ``bpos/bcnt``
+    enter each interval, ``epos/ecnt`` leave it.  ``max_cc`` =
+    max(ccb, cce); ``lf_bcnt`` = logfact[bcnt]; ``logpE_all`` = the full
+    E emission — data-only, shared between the main and rescue passes.
+
+    ``lanes`` splits the rows into independent carry chains whose
+    latencies overlap inside the single scan (B must divide by lanes).
+
+    Returns (asgn int8 (B,max_m) in scan order, final dp (B,4)).
+    """
+    B = bpos.shape[0]
+    fwd = fwd.astype(bool)
+    assert B % lanes == 0
+    Lb = B // lanes
+
+    def lane_inputs(s):
+        sl = slice(s * Lb, (s + 1) * Lb)
+        fw = fwd[sl]
+        covL = cov[sl]
+        return {
+            "bpos": bpos[sl], "bcnt": bcnt[sl], "epos": epos[sl],
+            "ecnt": ecnt[sl], "max_cc": max_cc[sl],
+            "lf_bcnt": lf_bcnt[sl], "logpE": logpE_all[sl],
+            "m": m[sl], "plen": plen[sl], "fwd": fw, "cov": covL,
+            "OFF": jnp.where(fw, P.offset, -P.offset).astype(jnp.int64),
+            "PSTEP": jnp.where(fw, 1, -1).astype(jnp.int64),
+            "covR": covL[:, REPEAT].astype(jnp.int64),
+            "covH": covL[:, HAPLO].astype(jnp.int64),
+        }
+
+    Ls = [lane_inputs(s) for s in range(lanes)]
+    carry0 = tuple(_lane_init(L, P) for L in Ls)
     steps = jnp.arange(1, max_m)
-    xs = (bpos[:, 1:].T, bcnt[:, 1:].T, epos[:, 1:].T, ecnt[:, 1:].T,
-          max_cc[:, 1:].T, lf_bcnt[:, 1:].T, logpE_all[:, 1:].T, steps)
-    carry0 = (dp0, dh0, regs_i, regs_b, eff0)
-    carry_f, (bps, rposs) = jax.lax.scan(body, carry0, xs)
-    dp_f = carry_f[0]
-    bps = jnp.moveaxis(bps, 0, 1)       # (B, max_m-1, 4)
-    rpos = jnp.concatenate(
-        [jnp.zeros((B, 1), bool), jnp.moveaxis(rposs, 0, 1)], axis=1)
+    xs = tuple((L["bpos"][:, 1:].T, L["bcnt"][:, 1:].T,
+                L["epos"][:, 1:].T, L["ecnt"][:, 1:].T,
+                L["max_cc"][:, 1:].T, L["lf_bcnt"][:, 1:].T,
+                L["logpE"][:, 1:].T, steps) for L in Ls)
+    consts = [{k: L[k] for k in ("cov", "fwd", "OFF", "PSTEP", "covR",
+                                 "covH", "m")} for L in Ls]
+
+    def body(carries, xs_t):
+        outs = []
+        new = []
+        for s in range(lanes):
+            c_n, out = _lane_step(carries[s], xs_t[s], consts[s], P)
+            new.append(c_n)
+            outs.append(out)
+        return tuple(new), tuple(outs)
+
+    carry_f, outs = jax.lax.scan(body, carry0, xs)
 
     # ---------------- traceback (class_rel.c:606-613) --------------------
-    last = jnp.maximum(m - 1, 0)
-    cur0 = jnp.argmax(dp_f, axis=1).astype(jnp.int32)
+    asgns = []
+    dps = []
+    for s in range(lanes):
+        bps, rposs = outs[s]
+        dp_f = carry_f[s][0]
+        dps.append(dp_f)
+        bps = jnp.moveaxis(bps, 0, 1)       # (Lb, max_m-1, 4)
+        rpos = jnp.concatenate(
+            [jnp.zeros((Lb, 1), bool), jnp.moveaxis(rposs, 0, 1)], axis=1)
+        last = jnp.maximum(Ls[s]["m"] - 1, 0)
+        cur0 = jnp.argmax(dp_f, axis=1).astype(jnp.int32)
 
-    def tb_body(cur, xs2):
-        bp_j, j = xs2  # (B, 4) backpointers into step j
-        out_j = cur
-        oh = jnp.arange(4)[None, :] == jnp.clip(cur, 0, 3)[:, None]
-        prev = jnp.sum(jnp.where(oh, bp_j, 0), axis=1).astype(jnp.int32)
-        newcur = jnp.where(j <= last, prev, cur)
-        return newcur, out_j
+        def tb_body(cur, xs2, last=last):
+            bp_j, j = xs2
+            out_j = cur
+            oh = jnp.arange(4)[None, :] == jnp.clip(cur, 0, 3)[:, None]
+            prev = jnp.sum(jnp.where(oh, bp_j, 0), axis=1).astype(jnp.int32)
+            newcur = jnp.where(j <= last, prev, cur)
+            return newcur, out_j
 
-    js = jnp.arange(max_m - 1, 0, -1)
-    bps_rev = jnp.moveaxis(bps, 1, 0)[::-1]
-    state0, outs = jax.lax.scan(tb_body, cur0, (bps_rev, js))
-    asgn = jnp.concatenate(
-        [state0[:, None], jnp.moveaxis(outs, 0, 1)[:, ::-1]],
-        axis=1).astype(jnp.int8)
-    asgn = jnp.where(rpos, jnp.int8(REPEAT), asgn)
-    return asgn, dp_f
+        js = jnp.arange(max_m - 1, 0, -1)
+        bps_rev = jnp.moveaxis(bps, 1, 0)[::-1]
+        state0, tb_outs = jax.lax.scan(tb_body, cur0, (bps_rev, js))
+        asgn = jnp.concatenate(
+            [state0[:, None], jnp.moveaxis(tb_outs, 0, 1)[:, ::-1]],
+            axis=1).astype(jnp.int8)
+        asgn = jnp.where(rpos, jnp.int8(REPEAT), asgn)
+        asgns.append(asgn)
+    return jnp.concatenate(asgns, axis=0), jnp.concatenate(dps, axis=0)

@@ -252,8 +252,31 @@ def _interp4(nodes, f):
             + w2 * nodes[..., 2] + w3 * nodes[..., 3])
 
 
-def logp_skellam_packed(k, lam, ps: PackedSkellam):
-    """Bit-identical to logp_skellam_dev with ONE table gather."""
+def split_gather(tab, n, idx, nsplit: int):
+    """tab[n, idx] issued as ``nsplit`` independent sub-gathers.
+
+    Inside device loops a single big gather serializes on its full
+    latency every iteration; independent smaller gathers overlap
+    (measured ~5x at nsplit=8), so callers in scan bodies split."""
+    if nsplit <= 1:
+        return tab[n, idx]
+    shape = n.shape
+    L = 1
+    for d in shape:
+        L *= d
+    nf = n.reshape(L)
+    idf = idx.reshape(L)
+    part = -(-L // nsplit)
+    outs = []
+    for s in range(0, L, part):
+        e = min(s + part, L)
+        outs.append(tab[nf[s:e], idf[s:e]])
+    flat = jnp.concatenate(outs, axis=0)
+    return flat.reshape(shape + flat.shape[1:])
+
+
+def skellam_args(k, lam):
+    """(n, idx, f, in_a, x, k_abs) for a packed-table evaluation."""
     k = jnp.abs(jnp.asarray(k, jnp.int32))
     lam = jnp.asarray(lam, jnp.float64)
     x = jnp.clip(2.0 * lam, 0.0, XB_MAX)
@@ -270,9 +293,14 @@ def logp_skellam_packed(k, lam, ps: PackedSkellam):
 
     in_a = x <= XA_MAX
     idx = jnp.where(in_a, i1a, NA_GRID + i1b)
-    nodes = ps.tab[n, idx]                       # the single gather
-    val = _interp4(nodes, jnp.where(in_a, fa, fb))
+    f = jnp.where(in_a, fa, fb)
+    return n, idx, f, in_a, x, k
 
+
+def skellam_value(nodes, ps: PackedSkellam, n, f, in_a, x, k, lam):
+    """Assemble the log-Skellam value from gathered nodes (bit-identical
+    arithmetic to logp_skellam_dev)."""
+    val = _interp4(nodes, f)
     # logfact[n] via one-hot contraction (exact selection, no gather)
     oh = jnp.arange(NMAX + 1) == n[..., None]
     lf_n = jnp.sum(jnp.where(oh, ps.lf_n, 0.0), axis=-1)
@@ -287,3 +315,12 @@ def logp_skellam_packed(k, lam, ps: PackedSkellam):
     out = jnp.where(out < -745.13, -jnp.inf, out)
     out = -2.0 * lam + out
     return jnp.where(k > NMAX, -jnp.inf, out)
+
+
+def logp_skellam_packed(k, lam, ps: PackedSkellam, nsplit: int = 1):
+    """Bit-identical to logp_skellam_dev; table read as ``nsplit``
+    overlapping sub-gathers (see split_gather)."""
+    lam = jnp.asarray(lam, jnp.float64)
+    n, idx, f, in_a, x, ka = skellam_args(k, lam)
+    nodes = split_gather(ps.tab, n, idx, nsplit)
+    return skellam_value(nodes, ps, n, f, in_a, x, ka, lam)

@@ -62,8 +62,9 @@ def _lf_oh(idx, lf_small):
     return jnp.sum(jnp.where(oh, lf_small, 0.0), axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("max_n",))
-def unrel_sweeps2(dyn, xs_desc, xs_asc, n, P: UnrelParams2, max_n: int):
+@functools.partial(jax.jit, static_argnames=("max_n", "lanes"))
+def unrel_sweeps2(dyn, xs_desc, xs_asc, n, P: UnrelParams2, max_n: int,
+                  lanes: int = 1):
     """Two relaxation sweeps (class_unrel.c:248-300).
 
     dyn: dict of device arrays in ORIGINAL interval order —
@@ -77,8 +78,57 @@ def unrel_sweeps2(dyn, xs_desc, xs_asc, n, P: UnrelParams2, max_n: int):
       order — idx (int32 interval index, 0 where not live), live (bool).
     n: (B,) int32 interval counts.
 
+    ``lanes`` splits rows into independent carry chains whose gather and
+    op latencies overlap inside the single scan (see rel_dev2.py).
+
     Returns final asgn (B, N) int8.
     """
+    B = n.shape[0]
+    assert B % lanes == 0
+    Lb = B // lanes
+    if lanes > 1:
+        parts = []
+        for s in range(lanes):
+            sl = slice(s * Lb, (s + 1) * Lb)
+            parts.append(_unrel_lane(
+                {k: v[sl] for k, v in dyn.items()},
+                {k: v[sl] for k, v in xs_desc.items()},
+                {k: v[sl] for k, v in xs_asc.items()},
+                n[sl], P, max_n))
+        carries, runners = zip(*parts)
+
+        def sweep(asgns, which):
+            def body(a_t, x_t):
+                out = []
+                for s in range(lanes):
+                    out.append(runners[s](a_t[s], x_t[s]))
+                return tuple(out), None
+            xs_t = tuple(c.xs[which] for c in carries)
+            a, _ = jax.lax.scan(body, tuple(asgns), xs_t)
+            return a
+
+        asgns = tuple(c.asgn0 for c in carries)
+        asgns = sweep(asgns, 0)
+        asgns = sweep(asgns, 1)
+        return jnp.concatenate([a.astype(jnp.int8) for a in asgns], axis=0)
+
+    carry, runner = _unrel_lane(dyn, xs_desc, xs_asc, n, P, max_n)
+
+    def body(a, x):
+        return runner(a, x), None
+
+    a, _ = jax.lax.scan(body, carry.asgn0, carry.xs[0])
+    a, _ = jax.lax.scan(body, a, carry.xs[1])
+    return a.astype(jnp.int8)
+
+
+class _LaneState(NamedTuple):
+    asgn0: jnp.ndarray
+    xs: tuple
+
+
+def _unrel_lane(dyn, xs_desc, xs_asc, n, P: UnrelParams2, max_n: int):
+    """Build one lane's initial state and step runner."""
     cols = jnp.arange(max_n, dtype=jnp.int32)[None, :]
     valid = cols < n[:, None]
     is_rel = dyn["is_rel"] & valid
@@ -180,7 +230,7 @@ def unrel_sweeps2(dyn, xs_desc, xs_asc, n, P: UnrelParams2, max_n: int):
             Rh[:, 0] * jnp.abs(Rh[:, 1] - x_r) / P.read_len,
             Ld[:, 0] * jnp.abs(x_l - Ld[:, 1]) / P.read_len,
             Rd[:, 0] * jnp.abs(Rd[:, 1] - x_r) / P.read_len], axis=1)
-        sk = logp_skellam_packed(kk, lamm, P.ps)
+        sk = logp_skellam_packed(kk, lamm, P.ps, nsplit=4)
 
         # batched binomial tails: est-coverage errors-in-others terms
         estf = jnp.stack([est_cov(HAPLO, x_l), est_cov(HAPLO, x_r),
@@ -188,7 +238,11 @@ def unrel_sweeps2(dyn, xs_desc, xs_asc, n, P: UnrelParams2, max_n: int):
         cnt4 = jnp.stack([icb, ice, icb, ice], axis=1)
         nq = jnp.clip(estf, 1, P.n_cap - 1)
         kq = jnp.clip(estf - cnt4, 0, P.n_cap - 1)
-        tails = P.btg_flat[(nq * P.n_cap + kq).astype(jnp.int32)]
+        tidx = (nq * P.n_cap + kq).astype(jnp.int32)
+        B_ = tidx.shape[0]
+        tails = jnp.concatenate(
+            [P.btg_flat[tidx[:, j]] for j in range(4)]).reshape(
+                4, B_).T  # 4 overlapping sub-gathers (see split_gather)
         sfe = jnp.where(estf >= cnt4, tails, NEG_INF)
 
         def side(s, iL, iR):
@@ -227,14 +281,8 @@ def unrel_sweeps2(dyn, xs_desc, xs_asc, n, P: UnrelParams2, max_n: int):
         upd = jnp.where(active, new, cur)
         asgn = jnp.where(oh_idx & active[:, None], upd[:, None],
                          asgn).astype(jnp.int32)
-        return asgn, None
+        return asgn
 
-    def run(asgn, xs):
-        # scan over the processing axis: transpose (B, N) -> (N, B)
-        xsT = {k: v.T for k, v in xs.items()}
-        a, _ = jax.lax.scan(step_fn, asgn, xsT)
-        return a
-
-    asgn = run(asgn0, xs_desc)
-    asgn = run(asgn, xs_asc)
-    return asgn.astype(jnp.int8)
+    # scan xs: transpose (B, N) -> (N, B) per processing order
+    xs = tuple({k: v.T for k, v in o.items()} for o in (xs_desc, xs_asc))
+    return _LaneState(asgn0=asgn0, xs=xs), step_fn
