@@ -41,6 +41,33 @@ def cmd_classify(args: argparse.Namespace) -> int:
         recs = classify_file_tpu(args.source, fk_root, coverage=args.coverage,
                                  read_len=args.read_len, model_path=args.model,
                                  verbose=args.verbose)
+    if args.seeds:
+        from classpro_tpu.io.fastk import open_profiles
+        from classpro_tpu.seeds import Workspace, find_seeds
+
+        P = open_profiles(fk_root)
+        K = P.kmer
+        ws = Workspace()
+        seed_path = out + ".seeds"
+        rep_path = out + ".rep"
+
+        def with_seeds(records):
+            with open(seed_path, "w") as sf, open(rep_path, "w") as rf:
+                for rid, rec in enumerate(records):
+                    prof = P.fetch(rid)
+                    if len(prof) > 0:
+                        labels, rints = find_seeds(
+                            rec.seq, rec.classes[K - 1:], prof, K, ws)
+                        sf.write(rec.header + "\n" + "N" * (K - 1)
+                                 + labels + "\n")
+                        for b, e in rints:
+                            rf.write(f"{rid}\t{b}\t{e}\n")
+                    else:
+                        sf.write(rec.header + "\n"
+                                 + "N" * len(rec.seq) + "\n")
+                    yield rec
+
+        recs = with_seeds(recs)
     write_class(out, recs)
     if args.verbose:
         print(f"wrote {out}", file=sys.stderr)
@@ -119,6 +146,10 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("-T", "--threads", type=int, default=4,
                    help="host-side worker count")
     c.add_argument("--engine", choices=["exact", "tpu"], default="tpu")
+    c.add_argument("-s", "--seeds", action="store_true",
+                   help="also select alignment seeds (-s in reference); "
+                        "writes <out>.seeds (per-position labels) and "
+                        "<out>.rep (repeat intervals per read)")
     c.add_argument("-v", "--verbose", action="store_true")
     c.set_defaults(fn=cmd_classify)
 
