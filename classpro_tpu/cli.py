@@ -24,8 +24,67 @@ def _root_of(source: str) -> str:
     return source
 
 
+def _classify_db(args) -> int:
+    """DAZZ .db/.dam input mode: classify + write the .class file and
+    the DAZZ-format .class/.rep tracks (ClassPro.c:289-304, io.c)."""
+    import numpy as np
+
+    from classpro_tpu.io.dazz import (DazzDB, IntPairTrackWriter,
+                                      TrackWriter, compress_codes)
+    from classpro_tpu.estimation import build_global_model
+    from classpro_tpu.io.fastk import load_histogram, open_profiles
+    from classpro_tpu.tpu.engine import TpuEngine
+
+    db = DazzDB(args.source)
+    fk_root = args.fastk_root or db.root
+    out = args.output or db.root + ".class"
+    gm = build_global_model(load_histogram(fk_root),
+                            coverage=args.coverage,
+                            read_len=args.read_len,
+                            model_path=args.model)
+    P = open_profiles(fk_root)
+    eng = TpuEngine(gm)
+    K = gm.kmer
+    ctos = np.zeros(256, np.uint8)        # const.c stoc order E,R,H,D
+    for code, ch in enumerate(b"ERHD"):
+        ctos[ch] = code
+
+    tw = TrackWriter(db.root, "class", db.nreads, 8)
+    rw = IntPairTrackWriter(db.root, "rep", db.nreads)
+    if args.seeds:
+        from classpro_tpu.seeds import Workspace, find_seeds
+
+        ws = Workspace()
+    bs = 512
+    with open(out, "w") as cf:
+        for lo in range(0, db.nreads, bs):
+            hi = min(lo + bs, db.nreads)
+            seqs = [db.load_read(i) for i in range(lo, hi)]
+            profs = [P.fetch(i) for i in range(lo, hi)]
+            classes = eng.classify_chunk(seqs, profs)
+            for j, i in enumerate(range(lo, hi)):
+                cf.write(f"{db.header(i)}\n{seqs[j]}\n+\n{classes[j]}\n")
+                body = classes[j]
+                if args.seeds and len(profs[j]) > 0:
+                    labels, rints = find_seeds(
+                        seqs[j], classes[j][K - 1:], profs[j], K, ws)
+                    body = "N" * (K - 1) + labels
+                    rw.add(rints)
+                codes = ctos[np.frombuffer(body.encode(), np.uint8)]
+                tw.add(compress_codes(codes))
+    tw.close()
+    rw.close()
+    db.close()
+    if args.verbose:
+        print(f"wrote {out} + .class/.rep tracks", file=sys.stderr)
+    return 0
+
+
 def cmd_classify(args: argparse.Namespace) -> int:
     from classpro_tpu.io.classfile import write_class
+
+    if args.source.endswith((".dam", ".db")):
+        return _classify_db(args)
 
     root = _root_of(args.source)
     fk_root = args.fastk_root or root
@@ -104,6 +163,13 @@ def cmd_class2acc(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_gsthresholds(args: argparse.Namespace) -> int:
+    from classpro_tpu.tools.classgs import genomescope_thresholds
+
+    print(" ".join(str(t) for t in genomescope_thresholds(args.gs_dir)))
+    return 0
+
+
 def cmd_class2cns(args: argparse.Namespace) -> int:
     import sys
 
@@ -114,6 +180,21 @@ def cmd_class2cns(args: argparse.Namespace) -> int:
               f"{consistency(args.estimate, args.fastk_root)}")
     else:
         dump(args.estimate, args.fastk_root, sys.stdout)
+    return 0
+
+
+def cmd_show_seeds(args: argparse.Namespace) -> int:
+    from classpro_tpu.tools.seedtracks import show_seeds
+
+    show_seeds(args.fastk_root, args.db, sys.stdout)
+    return 0
+
+
+def cmd_repdepanno(args: argparse.Namespace) -> int:
+    from classpro_tpu.tools.seedtracks import rep_dep_anno
+
+    n = rep_dep_anno(args.fastk_root, args.db)
+    print(f"{n} seed positions", file=sys.stderr)
     return 0
 
 
@@ -175,6 +256,12 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("-r", "--min-r", type=int, default=0)
     a.set_defaults(fn=cmd_class2acc)
 
+    gt = sub.add_parser("gs-thresholds",
+                        help="E/H, H/D, D/R count thresholds from a "
+                             "GenomeScope --fitted_hist output dir")
+    gt.add_argument("gs_dir")
+    gt.set_defaults(fn=cmd_gsthresholds)
+
     n = sub.add_parser("class2cns",
                        help="k-mer/class dump or consensus consistency")
     n.add_argument("estimate")
@@ -183,6 +270,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="print the harmonic-mean most-common-class "
                         "fraction instead of the dump")
     n.set_defaults(fn=cmd_class2cns)
+
+    ss = sub.add_parser("show-seeds",
+                        help="print seeds from a classified DB's track")
+    ss.add_argument("fastk_root")
+    ss.add_argument("db")
+    ss.set_defaults(fn=cmd_show_seeds)
+
+    rda = sub.add_parser("repdepanno",
+                         help="emit .seed tracks from a classified DB")
+    rda.add_argument("fastk_root")
+    rda.add_argument("db")
+    rda.set_defaults(fn=cmd_repdepanno)
 
     s = sub.add_parser("simulate", help="generate synthetic dataset")
     s.add_argument("outdir")

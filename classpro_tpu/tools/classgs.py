@@ -36,25 +36,28 @@ def classify_gs_file(fastx_path: str, fastk_root: str,
         yield ClassRecord(header, rec.seq, classes)
 
 
-def genomescope_thresholds(lookup_table_path: str) -> tuple[int, int, int]:
-    """Extract E/H, H/D, D/R count thresholds from a GenomeScope
-    lookup_table.txt (ref scripts/genomescope_thresholds.sh:8): the first
-    count where the maximum-likelihood component switches 0->1, 1->2, 2->3+.
-    """
-    prev = 0
+def genomescope_thresholds(gs_path: str) -> list[int]:
+    """Count thresholds from a GenomeScope --fitted_hist output
+    (exact translation of scripts/genomescope_thresholds.sh:8):
+
+        awk -F',' 'prev != $1 {print NR-1} {prev = $1}' lookup_table.txt
+
+    i.e. the 0-based line numbers of lookup_table.txt where the first
+    comma-separated field (the maximum-likelihood component label)
+    changes.  ``gs_path`` is the GenomeScope output directory or the
+    lookup table itself.  The caller takes fields and adds one, as
+    test/1-run.sh:26-31 does."""
+    import os
+
+    path = gs_path
+    if os.path.isdir(path):
+        path = os.path.join(path, "lookup_table.txt")
     out = []
-    with open(lookup_table_path) as f:
-        for line in f:
-            parts = line.split()
-            if not parts or not parts[0].isdigit():
-                continue
-            cnt = int(parts[0])
-            comp = int(np.argmax([float(x) for x in parts[1:]]))
-            while comp > prev and len(out) < 3:
-                out.append(cnt)
-                prev += 1
-            if len(out) == 3:
-                break
-    if len(out) != 3:
-        raise ValueError("could not extract 3 thresholds from lookup table")
-    return tuple(out)  # type: ignore[return-value]
+    prev = ""   # awk: uninitialized prev compares as empty string
+    with open(path) as f:
+        for nr, line in enumerate(f):
+            first = line.rstrip("\n").split(",")[0]
+            if first != prev:
+                out.append(nr)
+            prev = first
+    return out

@@ -238,17 +238,25 @@ class TpuEngine:
                     if ivs[i] is not None and len(ivs[i]) > 0]
         res: list[str] = [""] * B
         if rows_all:
-            # two length-sorted sub-batches: scan lengths (and so the
-            # table-lookup volume, the dominant device cost) track each
-            # sub-batch's own interval-count maximum; both dispatches are
+            # length-sorted sub-batches: scan lengths (and so the
+            # latency-bound device step count, the dominant cost) track
+            # each sub-batch's own interval maximum; all dispatches are
             # queued before the first synchronisation
             order = sorted(rows_all, key=lambda i: len(ivs[i]))
-            half = len(order) // 2 if len(order) >= 64 else 0
-            groups = [g for g in (order[:half], order[half:]) if g]
-            if (len(groups) == 2
-                    and _bucket32(len(ivs[groups[0][-1]]))
-                    == _bucket32(len(ivs[groups[1][-1]]))):
-                groups = [order]
+            nsub = max(1, min(4, len(order) // 64))
+            cuts = [len(order) * j // nsub for j in range(nsub + 1)]
+            groups: list[list[int]] = []
+            for j in range(nsub):
+                g = order[cuts[j]: cuts[j + 1]]
+                if not g:
+                    continue
+                # merge with the previous group when the padded scan
+                # length would be identical anyway
+                if groups and (_bucket32(len(ivs[groups[-1][-1]]))
+                               == _bucket32(len(ivs[g[-1]]))):
+                    groups[-1].extend(g)
+                else:
+                    groups.append(g)
             pending = [(self._dispatch(g, ivs, nrels, profiles), g)
                        for g in groups]
             for (out, meta), g in pending:

@@ -1,0 +1,60 @@
+"""DAZZ_DB format I/O roundtrips (ref DB.h/DB.c formats).
+
+Byte-level interop is verified against the reference binary during
+development (reference ClassPro/ShowSeeds/RepDepAnno consume write_dam
+output and produce byte-identical results — see io/dazz.py docstring);
+these tests keep the self-contained invariants green.
+"""
+import gzip
+import pathlib
+
+import numpy as np
+
+FIX = pathlib.Path(__file__).parent / "fixtures"
+
+
+def test_dam_roundtrip(tmp_path):
+    from classpro_tpu.io.dazz import DazzDB, write_dam
+    from classpro_tpu.io.fastx import read_fastx
+
+    recs = [(f"{r.name} {r.comment}".strip(), r.seq)
+            for r in read_fastx(str(FIX / "tiny" / "reads.fasta.gz"))][:20]
+    root = str(tmp_path / "reads")
+    n = write_dam(root, recs)
+    assert n == 20
+
+    db = DazzDB(root + ".dam")
+    assert db.nreads == 20
+    assert db.maxlen == max(len(s) for _, s in recs)
+    for i in (0, 7, 19):
+        assert db.load_read(i) == recs[i][1].upper()
+        assert db.header(i) == "@" + recs[i][0]
+    db.close()
+
+
+def test_track_roundtrip(tmp_path):
+    from classpro_tpu.io.dazz import (IntPairTrackWriter, TrackWriter,
+                                      compress_codes, read_track)
+
+    root = str(tmp_path / "reads")
+    tw = TrackWriter(root, "class", 3, 8)
+    payloads = [np.array([0, 1, 2, 3, 2, 1], np.uint8),
+                np.array([3, 3, 3], np.uint8),
+                np.array([], np.uint8)]
+    for p in payloads:
+        tw.add(compress_codes(p))
+    tw.close()
+    size, offs, data = read_track(root, "class")
+    assert size == 8
+    assert offs[0] == 0 and len(offs) == 4
+    first = data[offs[0]: offs[1]]
+    assert first == compress_codes(payloads[0])
+
+    rw = IntPairTrackWriter(root, "rep", 2)
+    rw.add([(5, 9), (20, 30)])
+    rw.add([])
+    rw.close()
+    size, offs, data = read_track(root, "rep")
+    assert size == 0
+    assert list(offs) == [0, 16, 16]
+    assert np.frombuffer(data, "<i4").tolist() == [5, 9, 20, 30]
