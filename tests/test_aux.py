@@ -1,0 +1,66 @@
+"""Auxiliary subsystems: PMM coverage VI, shard merging, timing."""
+import pathlib
+import struct
+
+import numpy as np
+
+FIX = pathlib.Path(__file__).parent / "fixtures"
+
+
+def test_pmm_recovers_mixture_coverages():
+    from classpro_tpu.estimation import build_global_model
+    from classpro_tpu.io.fastk import load_histogram
+    from classpro_tpu.pmm import PmmModel
+
+    hist = load_histogram(str(FIX / "medium" / "reads"))
+    gm = build_global_model(hist)
+    by_count = np.zeros(hist.high + 1, np.int64)
+    by_count[hist.low: hist.high + 1] = hist.hist
+    pm = PmmModel(gm, by_count)
+    rng = np.random.default_rng(0)
+    H, D = int(gm.cov[2]), int(gm.cov[3])
+    prof = np.concatenate([rng.poisson(H - 2, 4000),
+                           rng.poisson(D + 3, 6000)]).astype(np.uint16)
+    n, lam = pm.pmm_vi(prof)
+    assert n > 9000
+    assert abs(lam[0] - (H - 2)) < 2.0
+    assert abs(lam[1] - (D + 3)) < 2.0
+    # degenerate read: too few normal counts -> priors returned
+    n, lam = pm.pmm_vi(np.zeros(5, np.uint16))
+    assert n < 2 and lam == [float(H), float(D)]
+
+
+def test_merge_files_and_anno(tmp_path):
+    from classpro_tpu.io.merge import merge_anno, merge_files
+
+    parts = []
+    for t, payload in enumerate([b"abc", b"", b"defg"]):
+        p = tmp_path / f"x.class.{t}"
+        p.write_bytes(payload)
+        parts.append(str(p))
+    dest = str(tmp_path / "x.class")
+    merge_files(dest, parts)
+    assert open(dest, "rb").read() == b"abcdefg"
+    assert not any(pathlib.Path(p).exists() for p in parts)
+
+    # two anno shards: offsets rebased by running data size (io.c:41-56)
+    a0 = tmp_path / "a0"
+    a0.write_bytes(struct.pack("<iiq", 2, 8, 0) + struct.pack("<2q", 10, 30))
+    a1 = tmp_path / "a1"
+    a1.write_bytes(struct.pack("<iiq", 1, 8, 0) + struct.pack("<q", 5))
+    dest = str(tmp_path / "anno")
+    merge_anno(dest, [str(a0), str(a1)])
+    raw = open(dest, "rb").read()
+    n, s, idx0 = struct.unpack_from("<iiq", raw)
+    assert (n, s, idx0) == (3, 8, 0)
+    assert struct.unpack_from("<3q", raw, 16) == (10, 30, 35)
+
+
+def test_phase_timer_reports():
+    from classpro_tpu.timing import PhaseTimer
+
+    t = PhaseTimer()
+    sum(range(10000))
+    r = t.report()
+    assert "user" in r and "wall" in r and "max rss" in r
+    assert "Total" in t.report(total=True)
