@@ -138,11 +138,20 @@ def pack_chunk(rows, ivs, nrels, plens):
     idx_asc = np.where(live_n, iord, 0)
 
     # ---- reliable-interval batch (merged fw + bw rows) ---------------
-    rel_pos = [r for r, i in enumerate(rows) if nrels[i] > 0]
+    rel_flat = np.nonzero(cat["is_rel"])[0]
+    rows_of_rel = row_flat[rel_flat]
+    counts = np.bincount(rows_of_rel, minlength=len(rows))
+    rel_pos = np.nonzero(counts)[0]
     R = _bucket(max(len(rel_pos), 1))
-    ms = [nrels[rows[r]] for r in rel_pos]
-    max_m = _bucket32(max(ms) if ms else 1)
-    cols_m = np.arange(max_m)
+    max_m = _bucket32(int(counts.max()) if len(rel_pos) else 1)
+
+    # row index in the rel batch for each read row; column within row
+    j_of_row = np.full(len(rows), -1, np.int64)
+    j_of_row[rel_pos] = np.arange(len(rel_pos))
+    start = np.zeros(len(rows) + 1, np.int64)
+    np.cumsum(counts, out=start[1:])
+    within = np.arange(len(rel_flat)) - start[rows_of_rel]
+    jj = j_of_row[rows_of_rel]
 
     rb = {k: np.zeros((R, max_m), np.int32)
           for k in ("b", "e", "ccb", "cce")}
@@ -150,24 +159,18 @@ def pack_chunk(rows, ivs, nrels, plens):
     rb["ccb"][:] = 1
     rb["cce"][:] = 1
     rb_pe = np.full((R, max_m), NEG_INF)
+    for k in ("b", "e", "ccb", "cce"):
+        rb[k][jj, within] = cat[k][rel_flat]
+    rb_pe[jj, within] = cat["pe"][rel_flat]
     m_rel = np.ones(R, np.int32)
+    m_rel[: len(rel_pos)] = counts[rel_pos]
     plen_rel = np.ones(R, np.int32)
+    plen_rel[: len(rel_pos)] = [plens[rows[r]] for r in rel_pos]
     rel_rows_arr = np.full(R, Bn, np.int32)            # sentinel: drop
+    rel_rows_arr[: len(rel_pos)] = rel_pos
     rel_cols = np.full((R, max_m), max_n, np.int32)    # sentinel: drop
-    for j, r in enumerate(rel_pos):
-        i = rows[r]
-        a = ivs[i]
-        sel = np.nonzero(a["is_rel"])[0]
-        mm = len(sel)
-        m_rel[j] = mm
-        plen_rel[j] = plens[i]
-        rel_rows_arr[j] = r
-        rel_cols[j, :mm] = sel
-        rb["b"][j, :mm] = a["b"][sel]
-        rb["e"][j, :mm] = a["e"][sel]
-        rb["ccb"][j, :mm] = a["ccb"][sel]
-        rb["cce"][j, :mm] = a["cce"][sel]
-        rb_pe[j, :mm] = a["pe"][sel]
+    rel_cols[jj, within] = col_flat[rel_flat]
+    cols_m = np.arange(max_m)
 
     max_cc_o = np.maximum(rb["ccb"], rb["cce"])
     lf_ccb = LOGFACT[np.minimum(rb["ccb"], 32767)]

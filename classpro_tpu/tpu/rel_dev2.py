@@ -178,8 +178,9 @@ def _lane_step(carry, xs, consts, P: RelParams2):
 
     # R target emission (class_rel.c:172-211 via carried repeat count)
     strc = st_cnt[:, :, REPEAT]                              # (B, 4)
-    lf_strc = _lf_oh(strc, P.lf_small)
-    lf_sd = _lf_oh(strc - bcnt_i[:, None], P.lf_small)
+    lf_pair = _lf_oh(jnp.concatenate(
+        [strc, strc - bcnt_i[:, None]], axis=1), P.lf_small)
+    lf_strc, lf_sd = lf_pair[:, :4], lf_pair[:, 4:]
     logp_er_r = jnp.where(
         bcnt_i[:, None] < strc,
         lf_strc - lf_b_i[:, None] - lf_sd
@@ -329,18 +330,22 @@ def _lane_step(carry, xs, consts, P: RelParams2):
                   jnp.maximum(curr_d_D // 2, curr_d_D - covH)))
     curr_r_D = (P.dr_ratio * curr_d_D).astype(jnp.int64)
 
-    new_st_pos, new_st_cnt = st_pos_n, st_cnt_n
-    new_st_pos = new_st_pos.at[:, REPEAT, :].set(newR_pos)
-    new_st_cnt = new_st_cnt.at[:, REPEAT, :].set(newR_cnt)
-    for cell, trip in ((HAPLO, (curr_h_H, curr_d_H, curr_r_H)),
-                       (DIPLO, (curr_h_D, curr_d_D, curr_r_D))):
-        h, d, r_ = trip
-        for slot, cnt in ((HAPLO, h), (DIPLO, d), (REPEAT, r_)):
-            new_st_pos = new_st_pos.at[:, cell, slot].set(off_end[:, 0])
-            new_st_cnt = new_st_cnt.at[:, cell, slot].set(cnt)
+    # rebuild st rows with stacks instead of 14 scatter updates
+    oe = off_end[:, 0]
+    new_st_pos = jnp.stack([
+        st_pos_n[:, ERROR, :], newR_pos,
+        jnp.stack([st_pos_n[:, HAPLO, ERROR], oe, oe, oe], axis=1),
+        jnp.stack([st_pos_n[:, DIPLO, ERROR], oe, oe, oe], axis=1)],
+        axis=1)
+    new_st_cnt = jnp.stack([
+        st_cnt_n[:, ERROR, :], newR_cnt,
+        jnp.stack([st_cnt_n[:, HAPLO, ERROR], curr_r_H, curr_h_H,
+                   curr_d_H], axis=1),
+        jnp.stack([st_cnt_n[:, DIPLO, ERROR], curr_r_D, curr_h_D,
+                   curr_d_D], axis=1)], axis=1)
 
-    new_dh = jnp.full((B, 4), NEG_INF)
-    new_dh = new_dh.at[:, HAPLO].set(rH).at[:, DIPLO].set(rD)
+    ninf = jnp.full((B,), NEG_INF)
+    new_dh = jnp.stack([ninf, ninf, rH, rD], axis=1)
 
     gate = ((new_st_cnt[:, :, HAPLO] < new_st_cnt[:, :, DIPLO])
             & (new_st_cnt[:, :, DIPLO] < new_st_cnt[:, :, REPEAT]))

@@ -128,7 +128,15 @@ class _LaneState(NamedTuple):
 
 
 def _unrel_lane(dyn, xs_desc, xs_asc, n, P: UnrelParams2, max_n: int):
-    """Build one lane's initial state and step runner."""
+    """Build one lane's initial state and step runner.
+
+    The step body is latency-bound on op COUNT inside the device loop
+    (each small op costs ~1us regardless of size), so all per-state /
+    per-side work is stacked into lane axes: the four nearest-neighbor
+    searches run as one (B,2,N) masked reduction pair, the four
+    neighbor-value reads as one (B,4,N,3) one-hot contraction, the four
+    coverage interpolations / Skellam drifts / tail lookups as (B,4)
+    vectors, and the two per-state side combinations as (B,2)."""
     cols = jnp.arange(max_n, dtype=jnp.int32)[None, :]
     valid = cols < n[:, None]
     is_rel = dyn["is_rel"] & valid
@@ -136,148 +144,126 @@ def _unrel_lane(dyn, xs_desc, xs_asc, n, P: UnrelParams2, max_n: int):
     is_fixed = is_rel & ((asgn0 == HAPLO) | (asgn0 == DIPLO))
 
     packL, packR = dyn["packL"], dyn["packR"]
+    # neighbor-value planes for slots [H-left, H-right, D-left, D-right]
+    packLR4 = jnp.stack([packL, packR, packL, packR], axis=1)
     P13 = dyn["P13"]
-
-    def find_nn(asgn, idx, s):
-        """Nearest is_rel & asgn==s interval left/right of idx
-        (class_unrel.c:11-25); -1 if absent."""
-        match = is_rel & (asgn == s)
-        left = jnp.where(match & (cols < idx[:, None]), cols, -1)
-        l = jnp.max(left, axis=1)
-        right = jnp.where(match & (cols > idx[:, None]), cols, BIG)
-        r = jnp.min(right, axis=1)
-        r = jnp.where(r == BIG, -1, r)
-        return l, r
-
-    def extract_pack(pack, j):
-        """pack[b, j[b], :] via one-hot sum; zeros when j == -1."""
-        oh = (cols == j[:, None])[:, :, None]
-        return jnp.sum(jnp.where(oh, pack, 0.0), axis=1)
-
-    def extract_i(arr, j):
-        oh = cols == j[:, None]
-        return jnp.sum(jnp.where(oh, arr, 0), axis=1)
+    S2 = jnp.asarray([HAPLO, DIPLO], jnp.int32)[None, :, None]   # (1,2,1)
 
     def step_fn(asgn, x):
         idx = x["idx"]
-        oh_idx = cols == idx[:, None]
+        # fused one-hot for (idx-1, idx, idx+1): assignments of the
+        # interval and its original-order neighbors in one reduction
+        idx3 = jnp.stack([idx - 1, idx, idx + 1], axis=1)       # (B,3)
+        oh3 = cols[:, None, :] == idx3[:, :, None]              # (B,3,N)
+        a3 = jnp.sum(jnp.where(oh3, asgn[:, None, :], 0), axis=2)
+        nb, cur, na = a3[:, 0], a3[:, 1], a3[:, 2]
+        oh_idx = oh3[:, 1, :]
         v = jnp.sum(jnp.where(oh_idx[:, :, None], P13, 0.0), axis=1)
         icb = v[:, _CB].astype(jnp.int64)
         ice = v[:, _CE].astype(jnp.int64)
         x_l, x_r = v[:, _XL], v[:, _XR]
-
-        # ---- nearest reliable neighbors for H and D -----------------
-        lH, rH = find_nn(asgn, idx, HAPLO)
-        lD, rD = find_nn(asgn, idx, DIPLO)
-        Lh = extract_pack(packL, lH)   # (cce, e-1, ce) at left H nbr
-        Rh = extract_pack(packR, rH)   # (ccb, b, cb)   at right H nbr
-        Ld = extract_pack(packL, lD)
-        Rd = extract_pack(packR, rD)
-
         lE = v[:, _LE]
+
+        # ---- nearest reliable H/D neighbors, one fused search --------
+        # (class_unrel.c:11-25)
+        match = is_rel[:, None, :] & (asgn[:, None, :] == S2)   # (B,2,N)
+        in_l = match & (cols < idx[:, None])[:, None, :]
+        lHD = jnp.max(jnp.where(in_l, cols[:, None, :], -1), axis=2)
+        in_r = match & (cols > idx[:, None])[:, None, :]
+        rHD = jnp.min(jnp.where(in_r, cols[:, None, :], BIG), axis=2)
+        rHD = jnp.where(rHD == BIG, -1, rHD)
+        # slot order [H-left, H-right, D-left, D-right]
+        J4 = jnp.stack([lHD[:, 0], rHD[:, 0], lHD[:, 1], rHD[:, 1]], axis=1)
+        ohJ = cols[:, None, :] == J4[:, :, None]                # (B,4,N)
+        V4 = jnp.sum(jnp.where(ohJ[:, :, :, None], packLR4, 0.0), axis=2)
+        nn_ok = J4 != -1                                        # (B,4)
+        # V4[:, j] = (cce, e-1, ce) at left slots / (ccb, b, cb) at right
 
         # ---- logp_r_u (class_unrel.c:67-113): uncorrected nbr counts
         cov_d_f = jnp.asarray(P.cov_d, jnp.float64)
-        dl = jnp.where(lD != -1, Ld[:, 2],
-                       jnp.where(rD != -1, Rd[:, 2], cov_d_f))
-        dr = jnp.where(rD != -1, Rd[:, 2],
-                       jnp.where(lD != -1, Ld[:, 2], cov_d_f))
-        rl = (P.dr_ratio * dl).astype(jnp.int64)
-        rr = (P.dr_ratio * dr).astype(jnp.int64)
-        over = (icb >= rl) | (ice >= rr)
-
-        def binom(k, nn, lf_k):
-            return (_lf_oh(nn, P.lf_small) - lf_k
-                    - _lf_oh(nn - k, P.lf_small)
-                    + k * P.log_1m_pe_mean + (nn - k) * P.log_pe_mean)
-
-        lp_r = (binom(icb, rl, v[:, _LFCB]) + binom(ice, rr, v[:, _LFCE]))
+        dl = jnp.where(nn_ok[:, 2], V4[:, 2, 2],
+                       jnp.where(nn_ok[:, 3], V4[:, 3, 2], cov_d_f))
+        dr = jnp.where(nn_ok[:, 3], V4[:, 3, 2],
+                       jnp.where(nn_ok[:, 2], V4[:, 2, 2], cov_d_f))
+        rlrr = (P.dr_ratio * jnp.stack([dl, dr], axis=1)).astype(jnp.int64)
+        k2 = jnp.stack([icb, ice], axis=1)                      # (B,2)
+        over = jnp.any(k2 >= rlrr, axis=1)
+        lf2 = jnp.stack([v[:, _LFCB], v[:, _LFCE]], axis=1)
+        bi2 = (_lf_oh(rlrr, P.lf_small) - lf2
+               - _lf_oh(rlrr - k2, P.lf_small)
+               + k2 * P.log_1m_pe_mean + (rlrr - k2) * P.log_pe_mean)
+        lp_r = bi2[:, 0] + bi2[:, 1]
         hi = jnp.maximum(icb, ice) >= P.cov_r
         lR = jnp.where(hi, 0.0, jnp.where(over, P.r_logp, lp_r))
 
-        # ---- est_cov (class_unrel.c:27-43) ---------------------------
-        def est_level(l, r, L, R, xq):
-            Lc, Le = L[:, 0], L[:, 1]
-            Rc, Rb = R[:, 0], R[:, 1]
-            both = (l != -1) & (r != -1)
-            interp = (Lc + (Rc - Lc) * (xq - Le) / (Rb - Le))
-            val = jnp.where(both, interp.astype(jnp.int64),
-                            jnp.where(l != -1, Lc.astype(jnp.int64),
-                                      jnp.where(r != -1, Rc.astype(jnp.int64),
-                                                0)))
-            found = (l != -1) | (r != -1)
-            return val, found
+        # ---- est_cov for (H,D) x (left,right) lanes (class_unrel.c:27-43)
+        xq4 = jnp.stack([x_l, x_r, x_l, x_r], axis=1)           # (B,4)
+        lj = jnp.stack([lHD[:, 0], lHD[:, 0], lHD[:, 1], lHD[:, 1]], axis=1)
+        rj = jnp.stack([rHD[:, 0], rHD[:, 0], rHD[:, 1], rHD[:, 1]], axis=1)
+        Lc = jnp.stack([V4[:, 0, 0], V4[:, 0, 0],
+                        V4[:, 2, 0], V4[:, 2, 0]], axis=1)
+        Le = jnp.stack([V4[:, 0, 1], V4[:, 0, 1],
+                        V4[:, 2, 1], V4[:, 2, 1]], axis=1)
+        Rc = jnp.stack([V4[:, 1, 0], V4[:, 1, 0],
+                        V4[:, 3, 0], V4[:, 3, 0]], axis=1)
+        Rb = jnp.stack([V4[:, 1, 1], V4[:, 1, 1],
+                        V4[:, 3, 1], V4[:, 3, 1]], axis=1)
+        l_ok, r_ok = lj != -1, rj != -1
+        both = l_ok & r_ok
+        interp = (Lc + (Rc - Lc) * (xq4 - Le) / (Rb - Le))
+        val4 = jnp.where(both, interp.astype(jnp.int64),
+                         jnp.where(l_ok, Lc.astype(jnp.int64),
+                                   jnp.where(r_ok, Rc.astype(jnp.int64), 0)))
+        found4 = l_ok | r_ok
+        # cross-state fallback: other state's value at the same side
+        val_o = jnp.concatenate([val4[:, 2:], val4[:, :2]], axis=1)
+        found_o = jnp.concatenate([found4[:, 2:], found4[:, :2]], axis=1)
+        fb = jnp.where(
+            found_o & (val_o > 0),
+            jnp.where(jnp.arange(4)[None, :] < 2, val_o // 2, val_o * 2),
+            jnp.where(jnp.arange(4)[None, :] < 2, P.cov_h, P.cov_d))
+        estf = jnp.where(found4, val4, fb)
 
-        def est_cov(s, xq):
-            if s == HAPLO:
-                vv, found = est_level(lH, rH, Lh, Rh, xq)
-                v2, found2 = est_level(lD, rD, Ld, Rd, xq)
-                fb = jnp.where(found2 & (v2 > 0), v2 // 2, P.cov_h)
-            else:
-                vv, found = est_level(lD, rD, Ld, Rd, xq)
-                v2, found2 = est_level(lH, rH, Lh, Rh, xq)
-                fb = jnp.where(found2 & (v2 > 0), v2 * 2, P.cov_d)
-            return jnp.where(found, vv, fb)
-
-        # ---- logp_h_u / logp_d_u (class_unrel.c:115-183) --------------
-        # batched Skellam: [H-left, H-right, D-left, D-right]
-        kk = jnp.stack([icb - Lh[:, 0].astype(jnp.int64),
-                        Rh[:, 0].astype(jnp.int64) - ice,
-                        icb - Ld[:, 0].astype(jnp.int64),
-                        Rd[:, 0].astype(jnp.int64) - ice], axis=1)
-        lamm = jnp.stack([
-            Lh[:, 0] * jnp.abs(x_l - Lh[:, 1]) / P.read_len,
-            Rh[:, 0] * jnp.abs(Rh[:, 1] - x_r) / P.read_len,
-            Ld[:, 0] * jnp.abs(x_l - Ld[:, 1]) / P.read_len,
-            Rd[:, 0] * jnp.abs(Rd[:, 1] - x_r) / P.read_len], axis=1)
-        sk = logp_skellam_packed(kk, lamm, P.ps, nsplit=4)
-
-        # batched binomial tails: est-coverage errors-in-others terms
-        estf = jnp.stack([est_cov(HAPLO, x_l), est_cov(HAPLO, x_r),
-                          est_cov(DIPLO, x_l), est_cov(DIPLO, x_r)], axis=1)
+        # ---- Skellam drift to the neighbors (one packed call) --------
         cnt4 = jnp.stack([icb, ice, icb, ice], axis=1)
+        sign4 = jnp.asarray([1, -1, 1, -1])[None, :]
+        kk = sign4 * (cnt4 - V4[:, :, 0].astype(jnp.int64))
+        lamm = V4[:, :, 0] * jnp.abs(xq4 - V4[:, :, 1]) / P.read_len
+        sk = logp_skellam_packed(kk, lamm, P.ps)
+
+        # ---- binomial tails at the estimated coverages ---------------
         nq = jnp.clip(estf, 1, P.n_cap - 1)
         kq = jnp.clip(estf - cnt4, 0, P.n_cap - 1)
-        tidx = (nq * P.n_cap + kq).astype(jnp.int32)
-        B_ = tidx.shape[0]
-        tails = jnp.concatenate(
-            [P.btg_flat[tidx[:, j]] for j in range(4)]).reshape(
-                4, B_).T  # 4 overlapping sub-gathers (see split_gather)
+        tails = P.btg_flat[(nq * P.n_cap + kq).astype(jnp.int32)]
         sfe = jnp.where(estf >= cnt4, tails, NEG_INF)
 
-        def side(s, iL, iR):
-            l_rel = lH if s == HAPLO else lD
-            r_rel = rH if s == HAPLO else rD
-            nb = extract_i(asgn, idx - 1)
-            l_er = jnp.where((idx - 1 >= 0) & (nb == s),
-                             v[:, _PEOB], NEG_INF)
-            l_sf = jnp.where(l_rel != -1, sk[:, iL], NEG_INF)
-            logp_l = jnp.maximum(jnp.maximum(l_er, l_sf), sfe[:, iL])
-            na = extract_i(asgn, jnp.minimum(idx + 1, max_n - 1))
-            r_er = jnp.where(((idx + 1) < n) & (na == s),
-                             v[:, _PEOE], NEG_INF)
-            r_sf = jnp.where(r_rel != -1, sk[:, iR], NEG_INF)
-            logp_r_ = jnp.maximum(jnp.maximum(r_er, r_sf), sfe[:, iR])
+        # ---- per-state side combination (class_unrel.c:115-183) ------
+        S2f = S2[:, :, 0]                                       # (1,2)
+        er_l = jnp.where(((idx - 1 >= 0)[:, None]) & (nb[:, None] == S2f),
+                         v[:, _PEOB][:, None], NEG_INF)
+        er_r = jnp.where((((idx + 1) < n)[:, None]) & (na[:, None] == S2f),
+                         v[:, _PEOE][:, None], NEG_INF)
+        sf_l = jnp.where(nn_ok[:, 0::2], sk[:, 0::2], NEG_INF)
+        sf_r = jnp.where(nn_ok[:, 1::2], sk[:, 1::2], NEG_INF)
+        logp_l = jnp.maximum(jnp.maximum(er_l, sf_l), sfe[:, 0::2])
+        logp_r_ = jnp.maximum(jnp.maximum(er_r, sf_r), sfe[:, 1::2])
+        po_b = jnp.stack([v[:, _POHB], v[:, _PODB]], axis=1)
+        po_e = jnp.stack([v[:, _POHE], v[:, _PODE]], axis=1)
+        both_inf = (logp_l == NEG_INF) & (logp_r_ == NEG_INF)
+        lp_l = jnp.where(both_inf, po_b,
+                         jnp.where(logp_l == NEG_INF, logp_r_, logp_l))
+        lp_r = jnp.where(both_inf, po_e,
+                         jnp.where(logp_r_ == NEG_INF, lp_l, logp_r_))
+        lHD_ = lp_l + lp_r                                      # (B,2)
 
-            po_b = v[:, _POHB] if s == HAPLO else v[:, _PODB]
-            po_e = v[:, _POHE] if s == HAPLO else v[:, _PODE]
-            both_inf = (logp_l == NEG_INF) & (logp_r_ == NEG_INF)
-            lp_l = jnp.where(both_inf, po_b,
-                             jnp.where(logp_l == NEG_INF, logp_r_, logp_l))
-            lp_r = jnp.where(both_inf, po_e,
-                             jnp.where(logp_r_ == NEG_INF, lp_l, logp_r_))
-            return lp_l + lp_r
-
-        lH_ = side(HAPLO, 0, 1)
-        lD_ = side(DIPLO, 2, 3)
-
-        smax = jnp.argmax(jnp.stack([lE, lR, lH_, lD_], axis=1), axis=1)
+        smax = jnp.argmax(
+            jnp.concatenate([lE[:, None], lR[:, None], lHD_], axis=1),
+            axis=1)
         force_r = jnp.maximum(icb, ice) >= P.cov_r
         new = jnp.where(force_r, REPEAT, smax).astype(jnp.int32)
 
         fixed_at = jnp.any(oh_idx & is_fixed, axis=1)
         active = x["live"] & ~fixed_at
-        cur = extract_i(asgn, idx)
         upd = jnp.where(active, new, cur)
         asgn = jnp.where(oh_idx & active[:, None], upd[:, None],
                          asgn).astype(jnp.int32)
