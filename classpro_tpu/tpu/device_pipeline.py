@@ -1,18 +1,21 @@
-"""Single-dispatch device classification program.
+"""Device classification programs.
 
 Two platform facts shape this module (measured, see rel_dev2.py):
 every host<->device synchronisation costs a fixed ~30ms round trip AND
 every individual array transfer costs ~20ms regardless of size (bulk
 bandwidth is ~1.4GB/s).  So the host ships exactly TWO 1D blobs — one
-int32, one float64 — per chunk, and the entire classification (merged
-forward+backward reliable-interval DP, class_rel.c:623-963, conditional
-rescue re-run, demotion heuristics, fw/bw reconciliation, scatter into
-the full interval layout, and both unreliable-relaxation sweeps,
-class_unrel.c:248-300) runs as ONE jitted program returning the final
-per-interval assignment.  All derived planes (Poisson emissions,
-log-factorials, packed value tensors) are computed on device from the
-compact integer planes — the same device arithmetic the byte-validated
-v1 kernels used.
+int32, one float64 — per chunk, device handles are reused across
+programs, and results come back as single small arrays.
+
+``classify_batch_dev`` runs the whole classification as ONE program
+per sub-batch: merged forward+backward reliable-interval DP
+(class_rel.c:623-963) with conditional rescue re-run, demotion
+heuristics and fw/bw reconciliation, then both unreliable-relaxation
+sweeps (class_unrel.c:248-300).  (A two-phase variant that synced
+mid-chunk to let the host drop the relaxation steps of rel intervals
+fixed at H/D — provable no-ops, class_unrel.c:265-273 — was measured
+net-negative: the extra round trip idles the device longer than the
+dropped steps save.)
 
 Blob layouts (sizes static per jit specialisation):
 
@@ -92,90 +95,51 @@ def _oh_extract(arr, idx):
     return jnp.sum(jnp.where(oh, arr, 0), axis=1)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("Bn", "max_n", "R2", "max_m"))
-def classify_batch_dev(fblob, iblob, PP: PipelineParams,
-                       Bn: int, max_n: int, R2: int, max_m: int):
-    """See module docstring.  Returns final asgn (Bn, max_n) int8."""
-    P = PP.rel
+def _unpack(fblob, iblob, Bn, max_n, R2, max_m):
+    """Blob views (XLA dead-code-eliminates whatever a caller skips)."""
     R = R2 // 2
-
-    # ---------------- unpack blobs --------------------------------------
     un_sz, rel_sz = Bn * max_n, R2 * max_m
+    U = {}
     o = 0
-
-    def take_i(count, shape):
-        nonlocal o
-        v = iblob[o:o + count].reshape(shape)
-        o += count
-        return v
-
-    b_u = take_i(un_sz, (Bn, max_n))
-    e_u = take_i(un_sz, (Bn, max_n))
-    cb_u = take_i(un_sz, (Bn, max_n))
-    ce_u = take_i(un_sz, (Bn, max_n))
-    ccb_u = take_i(un_sz, (Bn, max_n))
-    cce_u = take_i(un_sz, (Bn, max_n))
-    idx_desc = take_i(un_sz, (Bn, max_n))
-    idx_asc = take_i(un_sz, (Bn, max_n))
-    is_rel_u = take_i(un_sz, (Bn, max_n)) != 0
-    live_u = take_i(un_sz, (Bn, max_n)) != 0
-    n_u = take_i(Bn, (Bn,))
-    bpos = take_i(rel_sz, (R2, max_m)).astype(jnp.int64)
-    bcnt = take_i(rel_sz, (R2, max_m)).astype(jnp.int64)
-    epos = take_i(rel_sz, (R2, max_m)).astype(jnp.int64)
-    ecnt = take_i(rel_sz, (R2, max_m)).astype(jnp.int64)
-    max_cc = take_i(rel_sz, (R2, max_m)).astype(jnp.int64)
-    rel_cols = take_i(R * max_m, (R, max_m))
-    m = take_i(R2, (R2,)).astype(jnp.int64)
-    plen = take_i(R2, (R2,)).astype(jnp.int64)
-    fwd = take_i(R2, (R2,)) != 0
-    rel_rows = take_i(R, (R,))
+    for k in ("b", "e", "cb", "ce", "ccb", "cce", "idx_desc", "idx_asc",
+              "is_rel", "live"):
+        U[k] = iblob[o:o + un_sz].reshape(Bn, max_n)
+        o += un_sz
+    U["n"] = iblob[o:o + Bn]
+    o += Bn
+    for k in ("bpos", "bcnt", "epos", "ecnt", "max_cc"):
+        U[k] = iblob[o:o + rel_sz].reshape(R2, max_m).astype(jnp.int64)
+        o += rel_sz
+    U["rel_cols"] = iblob[o:o + R * max_m].reshape(R, max_m)
+    o += R * max_m
+    for k in ("m", "plen"):
+        U[k] = iblob[o:o + R2].astype(jnp.int64)
+        o += R2
+    U["fwd"] = iblob[o:o + R2] != 0
+    o += R2
+    U["rel_rows"] = iblob[o:o + R]
 
     of = 0
+    for k in ("pe", "peob", "peoe", "lf_cb", "lf_ce"):
+        U[k] = fblob[of:of + un_sz].reshape(Bn, max_n)
+        of += un_sz
+    for k in ("pe_rel", "lf_bcnt", "lf_ecnt"):
+        U[k] = fblob[of:of + rel_sz].reshape(R2, max_m)
+        of += rel_sz
+    return U
 
-    def take_f(count, shape):
-        nonlocal of
-        v = fblob[of:of + count].reshape(shape)
-        of += count
-        return v
 
-    pe_u = take_f(un_sz, (Bn, max_n))
-    peob_u = take_f(un_sz, (Bn, max_n))
-    peoe_u = take_f(un_sz, (Bn, max_n))
-    lf_cb = take_f(un_sz, (Bn, max_n))
-    lf_ce = take_f(un_sz, (Bn, max_n))
-    pe_rel = take_f(rel_sz, (R2, max_m))
-    lf_bcnt = take_f(rel_sz, (R2, max_m))
-    lf_ecnt = take_f(rel_sz, (R2, max_m))
-
-    # ---------------- derived planes (device, v1-kernel arithmetic) -----
-    covHf = PP.gcov[HAPLO].astype(jnp.float64)
-    covDf = PP.gcov[DIPLO].astype(jnp.float64)
+def _rel_pipeline(U, PP: PipelineParams, R2: int, max_m: int):
+    """DP + rescue + demotions + fw/bw reconciliation -> (R, max_m)."""
+    P = PP.rel
+    R = R2 // 2
+    bpos, bcnt, epos, ecnt = U["bpos"], U["bcnt"], U["epos"], U["ecnt"]
+    m, plen, fwd = U["m"], U["plen"], U["fwd"]
     covEf = PP.gcov[ERROR].astype(jnp.float64)
-
-    po_cb_e = cb_u * jnp.log(covEf) - covEf - lf_cb
-    po_ce_e = ce_u * jnp.log(covEf) - covEf - lf_ce
-    lE_u = jnp.maximum(pe_u, po_cb_e + po_ce_e + P.e_po_base)
-    f64 = jnp.float64
-
-    def pois(k, lamf, lf_k):
-        return k * jnp.log(lamf) - lamf - lf_k
-
-    P13 = jnp.stack([
-        cb_u.astype(f64), ce_u.astype(f64), lf_cb, lf_ce,
-        b_u.astype(f64), (e_u - 1).astype(f64), lE_u,
-        pois(cb_u, covHf, lf_cb), pois(ce_u, covHf, lf_ce),
-        pois(cb_u, covDf, lf_cb), pois(ce_u, covDf, lf_ce),
-        peob_u, peoe_u], axis=-1)
-    packL = jnp.stack([cce_u.astype(f64), (e_u - 1).astype(f64),
-                       ce_u.astype(f64)], axis=-1)
-    packR = jnp.stack([ccb_u.astype(f64), b_u.astype(f64),
-                       cb_u.astype(f64)], axis=-1)
-
     logpE = jnp.maximum(
-        (bcnt * jnp.log(covEf) - covEf - lf_bcnt)
-        + (ecnt * jnp.log(covEf) - covEf - lf_ecnt) + P.e_po_base, pe_rel)
+        (bcnt * jnp.log(covEf) - covEf - U["lf_bcnt"])
+        + (ecnt * jnp.log(covEf) - covEf - U["lf_ecnt"]) + P.e_po_base,
+        U["pe_rel"])
 
     gH = PP.gcov[HAPLO].astype(jnp.float64)
     gD = PP.gcov[DIPLO].astype(jnp.float64)
@@ -183,12 +147,10 @@ def classify_batch_dev(fblob, iblob, PP: PipelineParams,
     inb = cols < m[:, None]
     cov_t = jnp.broadcast_to(PP.gcov[None, :], (R2, 4))
 
-    rel_lanes = 1  # lane-splitting measured net-negative on the real body
-
     def dp(cov):
-        return rel_dp_pass2(bpos, bcnt, epos, ecnt, max_cc,
-                            lf_bcnt, logpE, m, plen,
-                            fwd, cov, P, max_m, lanes=rel_lanes)[0]
+        return rel_dp_pass2(bpos, bcnt, epos, ecnt, U["max_cc"],
+                            U["lf_bcnt"], logpE, m, plen,
+                            fwd, cov, P, max_m)[0]
 
     asgn = dp(cov_t).astype(jnp.int32)
     l_arr = jnp.abs(epos - bpos) + 1        # interval lengths (invariant)
@@ -200,7 +162,7 @@ def classify_batch_dev(fblob, iblob, PP: PipelineParams,
                        axis=1)
         return lsum, csum, mask
 
-    # ---- no-H rescue (class_rel.c:630-672 / 744-784) --------------------
+    # ---- no-H rescue (class_rel.c:630-672 / 744-784) -------------------
     no_h = ~jnp.any(inb & (asgn == HAPLO), axis=1)
     lsum, csum, dmask = dsum(asgn, DIPLO)
     anchor, has_d = _first_true(dmask)   # first D in scan order == the
@@ -225,7 +187,7 @@ def classify_batch_dev(fblob, iblob, PP: PipelineParams,
     flip = no_h2 & (jnp.abs(mean2 - gH) <= jnp.abs(mean2 - gD))
     asgn = jnp.where(flip[:, None] & (asgn == DIPLO), HAPLO, asgn)
 
-    # ---- all-H -> maybe all-D (class_rel.c:674-690) ----------------------
+    # ---- all-H -> maybe all-D (class_rel.c:674-690) ---------------------
     all_h = jnp.all(~inb | (asgn == HAPLO), axis=1)
     lsum_a = jnp.sum(jnp.where(inb, l_arr, 0), axis=1)
     csum_a = jnp.sum(jnp.where(inb, (bcnt + ecnt) * l_arr // 2, 0), axis=1)
@@ -234,7 +196,7 @@ def classify_batch_dev(fblob, iblob, PP: PipelineParams,
     asgn = jnp.where(flip_all[:, None] & inb,
                      jnp.where(asgn == HAPLO, DIPLO, asgn), asgn)
 
-    # ---- >=70% H -> demote H->D, D->R (class_rel.c:692-713) --------------
+    # ---- >=70% H -> demote H->D, D->R (class_rel.c:692-713) -------------
     n_h = jnp.sum(inb & (asgn == HAPLO), axis=1)
     many_h = n_h >= m * 0.7
     lsum_h, csum_h, _ = dsum(asgn, HAPLO)
@@ -245,7 +207,7 @@ def classify_batch_dev(fblob, iblob, PP: PipelineParams,
     asgn = jnp.where(demote[:, None] & (asgn == DIPLO) & inb, REPEAT, asgn)
     asgn = jnp.where(asgn == 100, DIPLO, asgn)
 
-    # ---- hdrr (class_rel.c:715-731) --------------------------------------
+    # ---- hdrr (class_rel.c:715-731) -------------------------------------
     dm = inb & (asgn == DIPLO)
     hm = inb & (asgn == HAPLO)
     f_d, any_d = _first_true(dm)
@@ -259,7 +221,7 @@ def classify_batch_dev(fblob, iblob, PP: PipelineParams,
     hdrr = jnp.where(any_d & any_h,
                      jnp.where(fwd, p / q, q / p), 1.0)
 
-    # ---- fw/bw reconciliation (class_rel.c:847-938) -----------------------
+    # ---- fw/bw reconciliation (class_rel.c:847-938) ----------------------
     asgn_f = asgn[:R]
     hdrr_f, hdrr_b = hdrr[:R], hdrr[R:]
     m_f = m[:R]
@@ -285,18 +247,53 @@ def classify_batch_dev(fblob, iblob, PP: PipelineParams,
 
     take_b = ~eq & ~is_prefix & (
         is_suffix | (jnp.abs(hdrr_f - 1.0) > jnp.abs(hdrr_b - 1.0)))
-    rel_out = jnp.where(take_b[:, None], asgn_b, asgn_f)   # (R, max_m)
+    return jnp.where(take_b[:, None], asgn_b, asgn_f)   # (R, max_m)
 
-    # ---- scatter into the full interval layout ----------------------------
+
+def _un_planes(U, PP: PipelineParams):
+    """Derived per-interval planes for the relaxation (v1-kernel
+    arithmetic: device log over the same logfact table values)."""
+    P = PP.rel
+    covHf = PP.gcov[HAPLO].astype(jnp.float64)
+    covDf = PP.gcov[DIPLO].astype(jnp.float64)
+    covEf = PP.gcov[ERROR].astype(jnp.float64)
+    cb_u, ce_u = U["cb"], U["ce"]
+    lf_cb, lf_ce = U["lf_cb"], U["lf_ce"]
+    po_cb_e = cb_u * jnp.log(covEf) - covEf - lf_cb
+    po_ce_e = ce_u * jnp.log(covEf) - covEf - lf_ce
+    lE_u = jnp.maximum(U["pe"], po_cb_e + po_ce_e + P.e_po_base)
+    f64 = jnp.float64
+
+    def pois(k, lamf, lf_k):
+        return k * jnp.log(lamf) - lamf - lf_k
+
+    P13 = jnp.stack([
+        cb_u.astype(f64), ce_u.astype(f64), lf_cb, lf_ce,
+        U["b"].astype(f64), (U["e"] - 1).astype(f64), lE_u,
+        pois(cb_u, covHf, lf_cb), pois(ce_u, covHf, lf_ce),
+        pois(cb_u, covDf, lf_cb), pois(ce_u, covDf, lf_ce),
+        U["peob"], U["peoe"]], axis=-1)
+    packL = jnp.stack([U["cce"].astype(f64), (U["e"] - 1).astype(f64),
+                       ce_u.astype(f64)], axis=-1)
+    packR = jnp.stack([U["ccb"].astype(f64), U["b"].astype(f64),
+                       cb_u.astype(f64)], axis=-1)
+    return P13, packL, packR
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("Bn", "max_n", "R2", "max_m"))
+def classify_batch_dev(fblob, iblob, PP: PipelineParams,
+                       Bn: int, max_n: int, R2: int, max_m: int):
+    """Single-program pipeline (no step compaction): used by the
+    data-parallel mesh path.  Returns final asgn (Bn, max_n) int8."""
+    U = _unpack(fblob, iblob, Bn, max_n, R2, max_m)
+    rel_out = _rel_pipeline(U, PP, R2, max_m)
     asgn_un = jnp.full((Bn, max_n), N_STATE, jnp.int32)
     asgn_un = asgn_un.at[
-        rel_rows[:, None], rel_cols].set(rel_out, mode="drop")
-
-    # ---- unreliable-interval relaxation -----------------------------------
-    undyn = {"is_rel": is_rel_u, "asgn": asgn_un,
+        U["rel_rows"][:, None], U["rel_cols"]].set(rel_out, mode="drop")
+    P13, packL, packR = _un_planes(U, PP)
+    undyn = {"is_rel": U["is_rel"] != 0, "asgn": asgn_un,
              "P13": P13, "packL": packL, "packR": packR}
-    xs_desc = {"idx": idx_desc, "live": live_u}
-    xs_asc = {"idx": idx_asc, "live": live_u}
-    un_lanes = 1   # lane-splitting measured net-negative on the real body
-    return unrel_sweeps2(undyn, xs_desc, xs_asc, n_u, PP.unrel, max_n,
-                         lanes=un_lanes)
+    xs_desc = {"idx": U["idx_desc"], "live": U["live"] != 0}
+    xs_asc = {"idx": U["idx_asc"], "live": U["live"] != 0}
+    return unrel_sweeps2(undyn, xs_desc, xs_asc, U["n"], PP.unrel, max_n)

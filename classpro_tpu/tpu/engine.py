@@ -4,22 +4,20 @@ Stage split (see ARCHITECTURE.md):
   host C++: FASTK profile decode, sequence context, wall-detection walk,
             reliable-interval selection (csrc/classpro_host.cpp — branchy
             integer scan, bit-identical to the oracle)
-  device:   ONE jitted program per chunk (device_pipeline.py): merged
-            fw/bw reliable-interval DP + rescues + reconciliation +
-            unreliable-interval relaxation.  One dispatch, one
-            synchronisation — the platform charges ~30ms per round trip,
-            so the host packs everything up front and reads back only
-            the final (B, max_n) assignment.
+  device:   ONE jitted program per sub-batch (device_pipeline.py):
+            merged fw/bw reliable-interval DP + rescue + reconciliation
+            + both unreliable-relaxation sweeps.  (A two-phase variant
+            with host-compacted relaxation orders was measured
+            net-negative: the mid-pass synchronisation idles the
+            device for more than the dropped steps saved.)
 
-Host-side precomputation (numpy, libm) covers every *static* term the
-device kernels need — Poisson emissions, log-factorials, processing
-orders — matching the reference's libm arithmetic exactly; the device
-computes only the path-dependent parts.
+Chunks are split into up to four length-sorted sub-batches so scan
+lengths track each sub-batch's own interval maximum; all dispatches
+queue before the single combined result fetch.
 
-Reads are processed in chunks; interval arrays are padded to power-of-two
-buckets to bound jit recompilation.  Byte-identity vs the reference
-binary is a measured quantity (tests/test_tpu_engine.py), not an
-assumption.
+Interval arrays are padded to bucketed shapes to bound jit
+recompilation.  Byte-identity vs the reference binary is a measured
+quantity (tests/test_tpu_engine.py), not an assumption.
 """
 
 from __future__ import annotations
@@ -81,6 +79,16 @@ class _PyWall:
             arr[j] = (I.b, I.e, I.cb, I.ce, I.ccb, I.cce,
                       1 if I.is_rel else 0, 0, I.pe, I.pe_o_b, I.pe_o_e)
         return arr, len(rel)
+
+
+def _fetch_flat(arrays) -> np.ndarray:
+    """Bring several device arrays back in ONE transfer (each separate
+    synchronisation costs a ~30ms round trip on this platform)."""
+    import jax.numpy as jnp
+
+    if len(arrays) == 1:
+        return np.asarray(arrays[0]).ravel()
+    return np.asarray(jnp.concatenate([a.ravel() for a in arrays]))
 
 
 def make_wall_stage(gm: GlobalModel):
@@ -206,7 +214,8 @@ def pack_chunk(rows, ivs, nrels, plens):
         np.concatenate([lf_ccb, rev(lf_cce)]).ravel(),
         np.concatenate([lf_cce, rev(lf_ccb)]).ravel()])
 
-    meta = (rows, ns, cat, row_flat, col_flat)
+    meta = (rows, ns, cat, row_flat, col_flat, is_rel, live_n,
+            idx_desc, idx_asc, rel_rows_arr, rel_cols)
     return fblob, iblob, (Bn, max_n, 2 * R, max_m), meta
 
 
@@ -260,10 +269,19 @@ class TpuEngine:
                     groups[-1].extend(g)
                 else:
                     groups.append(g)
-            pending = [(self._dispatch(g, ivs, nrels, profiles), g)
+            # all sub-batch programs queue before the single combined
+            # fetch (each separate synchronisation costs a round trip;
+            # a mid-pass split phase was measured net-negative — the
+            # device idles across the extra sync)
+            pending = [self._dispatch(g, ivs, nrels, profiles)
                        for g in groups]
-            for (out, meta), g in pending:
-                self._expand(np.asarray(out), meta, res, K)
+            out_all = _fetch_flat([o for o, _ in pending])
+            off = 0
+            for out, meta in pending:
+                cnt = int(np.prod(out.shape))
+                self._expand(out_all[off: off + cnt].reshape(out.shape),
+                             meta, res, K)
+                off += cnt
         for i in range(B):
             if not res[i]:
                 res[i] = "N" * len(seqs[i])
@@ -281,7 +299,7 @@ class TpuEngine:
     # ------------------------------------------------------------------
     def _expand(self, asgn_fin, meta, res, K):
         """Per-interval assignments -> class strings (one flat repeat)."""
-        rows, ns, cat, row_flat, col_flat = meta
+        rows, ns, cat, row_flat, col_flat = meta[:5]
         stoc_lut = np.frombuffer(b"ERHD", dtype=np.uint8)
         lens_flat = (cat["e"] - cat["b"]).astype(np.int64)
         asgn_flat = np.clip(asgn_fin[row_flat, col_flat], 0, 3).astype(np.int64)
