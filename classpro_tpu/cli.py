@@ -82,9 +82,14 @@ def _classify_db(args) -> int:
 
 def cmd_classify(args: argparse.Namespace) -> int:
     from classpro_tpu.io.classfile import write_class
+    from classpro_tpu.timing import PhaseTimer
 
+    timer = PhaseTimer()
     if args.source.endswith((".dam", ".db")):
-        return _classify_db(args)
+        rc = _classify_db(args)
+        if args.verbose:
+            print(timer.report(total=True), file=sys.stderr)
+        return rc
 
     root = _root_of(args.source)
     fk_root = args.fastk_root or root
@@ -130,6 +135,7 @@ def cmd_classify(args: argparse.Namespace) -> int:
     write_class(out, recs)
     if args.verbose:
         print(f"wrote {out}", file=sys.stderr)
+        print(timer.report(total=True), file=sys.stderr)
     return 0
 
 

@@ -102,3 +102,39 @@ def test_graft_entry_single_and_multichip():
     n = min(len(jax.devices()), 8)
     if n >= 2:
         g.dryrun_multichip(n)
+
+
+def test_native_context_matches_reference_recurrences():
+    """The on-demand context scans must reproduce the full-table
+    recurrences exactly, including the reference's capped-backfill
+    artifact for homopolymer runs longer than 127 (see csrc)."""
+    import ctypes
+    import random
+
+    from classpro_tpu import native
+
+    if not native.available():
+        pytest.skip("no native library")
+    lib = native.get_lib()
+    lib.cp_seq_context.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int]
+    rng = random.Random(123)
+    cases = []
+    for L in (1, 2, 5, 17, 60, 200):
+        for alpha in ("AC", "ACGT", "A"):
+            cases += ["".join(rng.choice(alpha) for _ in range(L))
+                      for _ in range(10)]
+    for u in ("A", "AC", "ACG"):
+        for reps in (5, 126, 127, 128, 200):
+            cases += [u * reps, "T" + u * reps + "G"]
+    for s in cases:
+        L = len(s)
+        ref = [np.zeros(L * 3, np.uint8) for _ in range(2)]
+        fast = [np.zeros(L * 3, np.uint8) for _ in range(2)]
+        lib.cp_seq_context(s.encode(), L, ref[0].ctypes.data,
+                           ref[1].ctypes.data, 0)
+        lib.cp_seq_context(s.encode(), L, fast[0].ctypes.data,
+                           fast[1].ctypes.data, 1)
+        assert np.array_equal(ref[0], fast[0]), s
+        assert np.array_equal(ref[1], fast[1]), s
