@@ -232,49 +232,44 @@ class TpuEngine:
         K = gm.kmer
         B = len(seqs)
 
-        ivs: list = [None] * B
-        nrels: list[int] = [0] * B
-        todo = [i for i in range(B) if len(profiles[i]) > 0]
-        if hasattr(self.wall, "wall_stage_batch"):
-            res_w = self.wall.wall_stage_batch(
-                [seqs[i].encode("ascii") for i in todo],
-                [profiles[i] for i in todo])
-            for i, (arr, nrel) in zip(todo, res_w):
-                ivs[i], nrels[i] = arr, nrel
-        else:
-            for i in todo:
-                ivs[i], nrels[i] = self.wall.wall_stage(
-                    seqs[i].encode("ascii"), profiles[i])
-
-        rows_all = [i for i in range(B)
-                    if ivs[i] is not None and len(ivs[i]) > 0]
         res: list[str] = [""] * B
-        if rows_all:
-            # length-sorted sub-batches: scan lengths (and so the
-            # latency-bound device step count, the dominant cost) track
-            # each sub-batch's own interval maximum; all dispatches are
-            # queued before the first synchronisation
-            order = sorted(rows_all, key=lambda i: len(ivs[i]))
+        todo = [i for i in range(B) if len(profiles[i]) > 0]
+        if todo:
+            # profile-length-sorted sub-batches: the length is known
+            # BEFORE the wall stage and tracks the interval count, so
+            # grouping on it lets each group's host wall stage overlap
+            # the previous group's device execution (the wall of group
+            # k+1 runs while the device classifies group k); per group
+            # the padded scan length tracks its own interval maximum
+            order = sorted(todo, key=lambda i: len(profiles[i]))
             nsub = max(1, min(4, len(order) // 64))
             cuts = [len(order) * j // nsub for j in range(nsub + 1)]
-            groups: list[list[int]] = []
-            for j in range(nsub):
-                g = order[cuts[j]: cuts[j + 1]]
+            raw_groups = [order[cuts[j]: cuts[j + 1]]
+                          for j in range(nsub)]
+            ivs: list = [None] * B
+            nrels: list[int] = [0] * B
+            pending = []
+            batched = hasattr(self.wall, "wall_stage_batch")
+            for g in raw_groups:
                 if not g:
                     continue
-                # merge with the previous group when the padded scan
-                # length would be identical anyway
-                if groups and (_bucket32(len(ivs[groups[-1][-1]]))
-                               == _bucket32(len(ivs[g[-1]]))):
-                    groups[-1].extend(g)
+                if batched:
+                    res_w = self.wall.wall_stage_batch(
+                        [seqs[i].encode("ascii") for i in g],
+                        [profiles[i] for i in g])
+                    for i, (arr, nrel) in zip(g, res_w):
+                        ivs[i], nrels[i] = arr, nrel
                 else:
-                    groups.append(g)
-            # all sub-batch programs queue before the single combined
-            # fetch (each separate synchronisation costs a round trip;
-            # a mid-pass split phase was measured net-negative — the
-            # device idles across the extra sync)
-            pending = [self._dispatch(g, ivs, nrels, profiles)
-                       for g in groups]
+                    for i in g:
+                        ivs[i], nrels[i] = self.wall.wall_stage(
+                            seqs[i].encode("ascii"), profiles[i])
+                rows = [i for i in g if len(ivs[i]) > 0]
+                if rows:
+                    pending.append(
+                        self._dispatch(rows, ivs, nrels, profiles))
+            # ONE combined fetch (each separate synchronisation costs a
+            # round trip; a mid-pass split phase was measured
+            # net-negative — the device idles across the extra sync)
             out_all = _fetch_flat([o for o, _ in pending])
             off = 0
             for out, meta in pending:
