@@ -82,6 +82,19 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int]
+        lib.cp_unrel_batch.restype = None
+        lib.cp_unrel_batch.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_int, ctypes.c_double,
+            ctypes.c_double, ctypes.c_double,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int]
+        lib.cp_expand_batch.restype = None
+        lib.cp_expand_batch.argtypes = [
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int]
         _lib = lib
         return lib
 
@@ -176,3 +189,88 @@ class NativeWall:
                 res.append((out[i * slot: i * slot + n_out[i]].copy(),
                             int(n_rel[i])))
         return res
+
+    def wall_stage_slab(self, seqs: list[bytes],
+                        profiles: list[np.ndarray],
+                        threads: int = 0, slot: int = 1024):
+        """Multithreaded wall stage returning the raw slotted slab
+        (read i's records at rows [i*slot, i*slot+n_out[i])) for zero-copy
+        consumption by `unrel_batch`/`expand_batch`.  Returns
+        (slab structured array, n_out, n_rel, slot); retries the whole
+        batch with a larger slot on overflow (rare)."""
+        import os as _os
+
+        gm = self.gm
+        n = len(seqs)
+        if threads <= 0:
+            threads = min(_os.cpu_count() or 1, 16)
+        seq_cat = b"".join(seqs)
+        seq_off = np.zeros(n + 1, np.int64)
+        seq_off[1:] = np.cumsum([len(s) for s in seqs])
+        prof_cat = np.ascontiguousarray(
+            np.concatenate([np.asarray(p, np.uint16) for p in profiles])
+            if n else np.zeros(0, np.uint16), np.uint16)
+        prof_off = np.zeros(n + 1, np.int64)
+        prof_off[1:] = np.cumsum([len(p) for p in profiles])
+        while True:
+            out = np.zeros(n * slot, dtype=_IVDT)
+            n_out = np.zeros(n, np.int32)
+            n_rel = np.zeros(n, np.int32)
+            self.lib.cp_wall_stage_batch(
+                gm.kmer, gm.cmax, int(gm.cov[2]), gm.read_len,
+                gm.defaults.max_n_hc, gm.defaults.min_cnt_change,
+                gm.defaults.max_cnt_change,
+                self._pe_thres.ctypes.data, gm.defaults.thres_diff_eo,
+                gm.defaults.thres_diff_rel, gm.emodel.hc_erate,
+                self._lmax.ctypes.data, self._lmaxp1,
+                self._pe.ctypes.data, self._cthres.ctypes.data,
+                n, seq_cat, seq_off.ctypes.data,
+                prof_cat.ctypes.data, prof_off.ctypes.data,
+                out.ctypes.data_as(ctypes.c_void_p), slot,
+                n_out.ctypes.data, n_rel.ctypes.data, threads)
+            if (n_out >= 0).all():
+                return out, n_out, n_rel, slot
+            slot *= 4
+
+    def unrel_batch(self, slab: np.ndarray, slot: int, n_out: np.ndarray,
+                    asgn: np.ndarray, threads: int = 0) -> None:
+        """Two relaxation sweeps per read, in place on `asgn`
+        ((n, slot) int8: reliable-DP result at reliable intervals,
+        4 = unclassified elsewhere).  Skellam terms come from the same
+        interpolation tables the device kernels use."""
+        import os as _os
+
+        gm = self.gm
+        d = gm.defaults
+        if threads <= 0:
+            threads = min(_os.cpu_count() or 1, 16)
+        if not hasattr(self, "_sk"):
+            from classpro_tpu.tpu.skellam_dev import build_skellam_tables
+
+            st = build_skellam_tables()
+            self._sk = (np.ascontiguousarray(st.table_a),
+                        np.ascontiguousarray(st.table_b))
+        self.lib.cp_unrel_batch(
+            int(gm.cov[0]), int(gm.cov[1]), int(gm.cov[2]), int(gm.cov[3]),
+            float(gm.dr_ratio), gm.read_len, d.r_logp, d.e_po_base,
+            d.pe_mean,
+            self._sk[0].ctypes.data, self._sk[1].ctypes.data, len(n_out),
+            slab.ctypes.data_as(ctypes.c_void_p), slot,
+            n_out.ctypes.data, asgn.ctypes.data, threads)
+
+    def expand_batch(self, slab: np.ndarray, slot: int, n_out: np.ndarray,
+                     asgn: np.ndarray, out_off: np.ndarray,
+                     threads: int = 0) -> np.ndarray:
+        """Per-interval assignments -> class characters.  out_off is the
+        (n+1,) int64 byte offset of each read's class line (length K-1 +
+        plen); returns the filled uint8 buffer."""
+        import os as _os
+
+        if threads <= 0:
+            threads = min(_os.cpu_count() or 1, 16)
+        buf = np.empty(int(out_off[-1]), np.uint8)
+        self.lib.cp_expand_batch(
+            len(n_out), slab.ctypes.data_as(ctypes.c_void_p), slot,
+            n_out.ctypes.data, asgn.ctypes.data, self.gm.kmer,
+            out_off.ctypes.data, buf.ctypes.data, threads)
+        return buf

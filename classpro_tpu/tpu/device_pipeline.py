@@ -280,6 +280,57 @@ def _un_planes(U, PP: PipelineParams):
     return P13, packL, packR
 
 
+@functools.partial(jax.jit, static_argnames=("R", "max_m"))
+def rel_only_dev(fblob, iblob, PP: PipelineParams, R: int, max_m: int):
+    """Reliable-interval DP only (the production engine path: the
+    branchy unreliable relaxation runs on the host in C++,
+    csrc/classpro_host.cpp cp_unrel_batch).
+
+    The host ships single-direction rel planes; both scan directions,
+    the boundary-role stacking and the log-factorial lookups are derived
+    here (transfer bandwidth is the scarce resource, device-side
+    gathers outside loops are effectively free).
+
+    iblob (int32): b,e,ccb,cce [4 x R*max_m] | m [R] | plen [R]
+    fblob (f64):   pe [R*max_m]
+    Returns asgn (R, max_m) int8 (forward order, fw/bw reconciled).
+    """
+    sz = R * max_m
+    b = iblob[0:sz].reshape(R, max_m).astype(jnp.int64)
+    e = iblob[sz:2 * sz].reshape(R, max_m).astype(jnp.int64)
+    ccb = iblob[2 * sz:3 * sz].reshape(R, max_m).astype(jnp.int64)
+    cce = iblob[3 * sz:4 * sz].reshape(R, max_m).astype(jnp.int64)
+    m = iblob[4 * sz:4 * sz + R].astype(jnp.int64)
+    plen = iblob[4 * sz + R:4 * sz + 2 * R].astype(jnp.int64)
+    pe = fblob[0:sz].reshape(R, max_m)
+
+    cols = jnp.arange(max_m)
+    flip = jnp.where(cols[None, :] < m[:, None],
+                     m[:, None] - 1 - cols[None, :], cols[None, :])
+
+    def rev(a):
+        return jnp.take_along_axis(a, flip, axis=1)
+
+    max_cc = jnp.maximum(ccb, cce)
+    lf = PP.rel.logfact
+    bcnt = jnp.concatenate([ccb, rev(cce)])
+    ecnt = jnp.concatenate([cce, rev(ccb)])
+    U = {
+        "bpos": jnp.concatenate([b, rev(e) - 1]),
+        "bcnt": bcnt,
+        "epos": jnp.concatenate([e - 1, rev(b)]),
+        "ecnt": ecnt,
+        "max_cc": jnp.concatenate([max_cc, rev(max_cc)]),
+        "lf_bcnt": lf[jnp.clip(bcnt, 0, 32767)],
+        "lf_ecnt": lf[jnp.clip(ecnt, 0, 32767)],
+        "pe_rel": jnp.concatenate([pe, rev(pe)]),
+        "m": jnp.concatenate([m, m]),
+        "plen": jnp.concatenate([plen, plen]),
+        "fwd": jnp.concatenate([jnp.ones(R, bool), jnp.zeros(R, bool)]),
+    }
+    return _rel_pipeline(U, PP, 2 * R, max_m).astype(jnp.int8)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("Bn", "max_n", "R2", "max_m"))
 def classify_batch_dev(fblob, iblob, PP: PipelineParams,

@@ -36,7 +36,8 @@ from classpro_tpu.io.fastk import load_histogram, open_profiles
 from classpro_tpu.io.fastx import read_fastx
 from classpro_tpu.numerics import LOGFACT
 from classpro_tpu.tpu.device_pipeline import (build_pipeline_params,
-                                              classify_batch_dev)
+                                              classify_batch_dev,
+                                              rel_only_dev)
 
 ERROR, REPEAT, HAPLO, DIPLO, N_STATE = 0, 1, 2, 3, 4
 NEG_INF = float("-inf")
@@ -219,6 +220,48 @@ def pack_chunk(rows, ivs, nrels, plens):
     return fblob, iblob, (Bn, max_n, 2 * R, max_m), meta
 
 
+def pack_rel_slab(slab, slot, n_out, n_rel, plens):
+    """Pack a wall-stage slab's RELIABLE intervals into the rel-only
+    transfer blobs (layout: rel_only_dev docstring).  Both directions and
+    log-factorials are derived on device.  Returns (fblob, iblob, R,
+    max_m, scatter meta) or None when no read has a reliable interval."""
+    n = len(n_out)
+    iv = slab.reshape(n, slot)
+    sel = np.nonzero(n_rel > 0)[0]
+    if len(sel) == 0:
+        return None
+    max_n = int(n_out.max())
+    sub = iv[sel, :max_n]
+    live = np.arange(max_n)[None, :] < n_out[sel][:, None]
+    relm = (sub["is_rel"] != 0) & live
+    jj, cc = np.nonzero(relm)
+    counts = n_rel[sel]
+    R = _bucket(len(sel))
+    max_m = _bucket32(int(counts.max()))
+    start = np.zeros(len(sel) + 1, np.int64)
+    np.cumsum(counts, out=start[1:])
+    within = np.arange(len(jj)) - start[jj]
+
+    rb_b = np.zeros((R, max_m), np.int32)
+    rb_e = np.ones((R, max_m), np.int32)
+    rb_ccb = np.ones((R, max_m), np.int32)
+    rb_cce = np.ones((R, max_m), np.int32)
+    rb_pe = np.full((R, max_m), NEG_INF)
+    rb_b[jj, within] = sub["b"][jj, cc]
+    rb_e[jj, within] = sub["e"][jj, cc]
+    rb_ccb[jj, within] = sub["ccb"][jj, cc]
+    rb_cce[jj, within] = sub["cce"][jj, cc]
+    rb_pe[jj, within] = sub["pe"][jj, cc]
+    m = np.ones(R, np.int32)
+    m[: len(sel)] = counts
+    plen = np.ones(R, np.int32)
+    plen[: len(sel)] = plens[sel]
+
+    iblob = np.concatenate([rb_b.ravel(), rb_e.ravel(), rb_ccb.ravel(),
+                            rb_cce.ravel(), m, plen]).astype(np.int32)
+    return rb_pe.ravel(), iblob, R, max_m, (sel, jj, cc, within)
+
+
 class TpuEngine:
     def __init__(self, gm: GlobalModel, batch_size: int = 512):
         self.gm = gm
@@ -228,59 +271,105 @@ class TpuEngine:
 
     # ------------------------------------------------------------------
     def classify_chunk(self, seqs: list[str], profiles: list[np.ndarray]) -> list[str]:
-        gm = self.gm
-        K = gm.kmer
-        B = len(seqs)
-
-        res: list[str] = [""] * B
-        todo = [i for i in range(B) if len(profiles[i]) > 0]
+        """Production path: C++ wall stage -> device rel-only DP (one
+        queued program per length group, single combined fetch) -> C++
+        relaxation sweeps + expansion.  Falls back to the all-device
+        pipeline when the native library is unavailable."""
+        res: list[str] = [""] * len(seqs)
+        todo = [i for i in range(len(seqs)) if len(profiles[i]) > 0]
         if todo:
-            # profile-length-sorted sub-batches: the length is known
-            # BEFORE the wall stage and tracks the interval count, so
-            # grouping on it lets each group's host wall stage overlap
-            # the previous group's device execution (the wall of group
-            # k+1 runs while the device classifies group k); per group
-            # the padded scan length tracks its own interval maximum
-            order = sorted(todo, key=lambda i: len(profiles[i]))
-            nsub = max(1, min(4, len(order) // 64))
-            cuts = [len(order) * j // nsub for j in range(nsub + 1)]
-            raw_groups = [order[cuts[j]: cuts[j + 1]]
-                          for j in range(nsub)]
-            ivs: list = [None] * B
-            nrels: list[int] = [0] * B
-            pending = []
-            batched = hasattr(self.wall, "wall_stage_batch")
-            for g in raw_groups:
-                if not g:
-                    continue
-                if batched:
-                    res_w = self.wall.wall_stage_batch(
-                        [seqs[i].encode("ascii") for i in g],
-                        [profiles[i] for i in g])
-                    for i, (arr, nrel) in zip(g, res_w):
-                        ivs[i], nrels[i] = arr, nrel
-                else:
-                    for i in g:
-                        ivs[i], nrels[i] = self.wall.wall_stage(
-                            seqs[i].encode("ascii"), profiles[i])
-                rows = [i for i in g if len(ivs[i]) > 0]
-                if rows:
-                    pending.append(
-                        self._dispatch(rows, ivs, nrels, profiles))
-            # ONE combined fetch (each separate synchronisation costs a
-            # round trip; a mid-pass split phase was measured
-            # net-negative — the device idles across the extra sync)
-            out_all = _fetch_flat([o for o, _ in pending])
-            off = 0
-            for out, meta in pending:
-                cnt = int(np.prod(out.shape))
-                self._expand(out_all[off: off + cnt].reshape(out.shape),
-                             meta, res, K)
-                off += cnt
-        for i in range(B):
+            if hasattr(self.wall, "wall_stage_slab"):
+                self._chunk_native(seqs, profiles, todo, res)
+            else:
+                self._chunk_alldev(seqs, profiles, todo, res)
+        for i in range(len(seqs)):
             if not res[i]:
                 res[i] = "N" * len(seqs[i])
         return res
+
+    # ------------------------------------------------------------------
+    def _chunk_native(self, seqs, profiles, todo, res) -> None:
+        K = self.gm.kmer
+        # profile-length-sorted groups: group k+1's host wall stage
+        # overlaps group k's device DP
+        order = sorted(todo, key=lambda i: len(profiles[i]))
+        ngrp = 2 if len(order) >= 128 else 1
+        cuts = [len(order) * j // ngrp for j in range(ngrp + 1)]
+        pending = []
+        for j in range(ngrp):
+            g = order[cuts[j]: cuts[j + 1]]
+            if not g:
+                continue
+            slab, n_out, n_rel, slot = self.wall.wall_stage_slab(
+                [seqs[i].encode("ascii") for i in g],
+                [profiles[i] for i in g])
+            plens = np.array([len(profiles[i]) for i in g], np.int64)
+            pk = pack_rel_slab(slab, slot, n_out, n_rel, plens)
+            out = meta = None
+            if pk is not None:
+                fb, ib, R, max_m, meta = pk
+                out = rel_only_dev(fb, ib, self.pp, R, max_m)
+            pending.append((g, slab, n_out, slot, out, meta))
+        outs = [p[4] for p in pending if p[4] is not None]
+        out_all = _fetch_flat(outs) if outs else None
+        off = 0
+        for g, slab, n_out, slot, out, meta in pending:
+            n = len(g)
+            asgn = np.full((n, slot), N_STATE, np.int8)
+            if out is not None:
+                cnt = int(np.prod(out.shape))
+                rel_out = out_all[off: off + cnt].reshape(out.shape)
+                off += cnt
+                sel, jj, cc, within = meta
+                asgn[sel[jj], cc] = rel_out[jj, within]
+            self.wall.unrel_batch(slab, slot, n_out, asgn)
+            out_off = np.zeros(n + 1, np.int64)
+            out_off[1:] = np.cumsum([len(seqs[i]) for i in g])
+            buf = self.wall.expand_batch(slab, slot, n_out, asgn, out_off)
+            bts = buf.tobytes()
+            for r, i in enumerate(g):
+                res[i] = bts[out_off[r]: out_off[r + 1]].decode("ascii")
+
+    # ------------------------------------------------------------------
+    def _chunk_alldev(self, seqs, profiles, todo, res) -> None:
+        """All-device fallback (no native library): wall stage via the
+        Python oracle, full DP + relaxation in classify_batch_dev."""
+        gm = self.gm
+        K = gm.kmer
+        B = len(seqs)
+        order = sorted(todo, key=lambda i: len(profiles[i]))
+        nsub = max(1, min(4, len(order) // 64))
+        cuts = [len(order) * j // nsub for j in range(nsub + 1)]
+        raw_groups = [order[cuts[j]: cuts[j + 1]] for j in range(nsub)]
+        ivs: list = [None] * B
+        nrels: list[int] = [0] * B
+        pending = []
+        batched = hasattr(self.wall, "wall_stage_batch")
+        for g in raw_groups:
+            if not g:
+                continue
+            if batched:
+                res_w = self.wall.wall_stage_batch(
+                    [seqs[i].encode("ascii") for i in g],
+                    [profiles[i] for i in g])
+                for i, (arr, nrel) in zip(g, res_w):
+                    ivs[i], nrels[i] = arr, nrel
+            else:
+                for i in g:
+                    ivs[i], nrels[i] = self.wall.wall_stage(
+                        seqs[i].encode("ascii"), profiles[i])
+            rows = [i for i in g if len(ivs[i]) > 0]
+            if rows:
+                pending.append(self._dispatch(rows, ivs, nrels, profiles))
+        # ONE combined fetch (each separate synchronisation costs a
+        # round trip)
+        out_all = _fetch_flat([o for o, _ in pending])
+        off = 0
+        for out, meta in pending:
+            cnt = int(np.prod(out.shape))
+            self._expand(out_all[off: off + cnt].reshape(out.shape),
+                         meta, res, K)
+            off += cnt
 
     # ------------------------------------------------------------------
     def _dispatch(self, rows, ivs, nrels, profiles):

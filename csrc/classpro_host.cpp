@@ -813,6 +813,266 @@ constexpr uint8_t WallWalk::P_BY[2];
 
 thread_local Workspace g_ws;
 
+// ---------------------------------------------------------------------
+// unreliable-interval relaxation (semantics of class_unrel.c:11-300,
+// fresh implementation mirroring the golden-verified Python oracle
+// classpro_tpu/exact/unrel.py)
+// ---------------------------------------------------------------------
+
+enum { U_ERROR = 0, U_REPEAT = 1, U_HAPLO = 2, U_DIPLO = 3, U_NSTATE = 4 };
+
+// Interpolated log-Skellam (same tables and arithmetic as the device
+// path, classpro_tpu/tpu/skellam_dev.py: 4-point Lagrange over a
+// C-replica Bessel grid; interpolation error ~1e-9, inside the
+// reference Bessel's own ~1e-7 noise floor; end-to-end byte-identity is
+// a measured quantity).  NULL tables fall back to the exact recurrence.
+struct SkTab {
+  const double* ta;  // (385, 2048) region A: h(n,x), x uniform in [0,64]
+  const double* tb;  // (385, 4096) region B: g(n,x), uniform in sqrt(x)
+};
+constexpr int SK_NMAX = 384;
+constexpr int SK_NA = 2048;
+constexpr int SK_NB = 4096;
+constexpr double SK_XA_MAX = 64.0;
+constexpr double SK_XB_MAX = 16384.0;
+
+static inline double sk_interp4(const double* row, int i1, double f) {
+  const double w0 = -f * (f - 1.0) * (f - 2.0) / 6.0;
+  const double w1 = (f + 1.0) * (f - 1.0) * (f - 2.0) / 2.0;
+  const double w2 = -(f + 1.0) * f * (f - 2.0) / 2.0;
+  const double w3 = (f + 1.0) * f * (f - 1.0) / 6.0;
+  return w0 * row[i1 - 1] + w1 * row[i1] + w2 * row[i1 + 1] +
+         w3 * row[i1 + 2];
+}
+
+static double sk_logp_skellam(const SkTab& T, int k, double lam) {
+  if (T.ta == nullptr)
+    return logp_skellam(k, lam);
+  int n = std::abs(k);
+  if (n > SK_NMAX) return NEG_INF;
+  double x = 2.0 * lam;
+  if (x < 0.0) x = 0.0;
+  if (x > SK_XB_MAX) x = SK_XB_MAX;
+  double out;
+  if (x <= SK_XA_MAX) {
+    double pos = x * ((SK_NA - 1) / SK_XA_MAX);
+    int i1 = (int)std::floor(pos);
+    if (i1 < 1) i1 = 1;
+    if (i1 > SK_NA - 3) i1 = SK_NA - 3;
+    double h = sk_interp4(T.ta + (int64_t)n * SK_NA, i1, pos - i1);
+    double log_xh = x > 0.0 ? std::log(x / 2.0) : NEG_INF;
+    out = h + n * log_xh - g_logfact[n];
+    if (x == 0.0 && n == 0) out = 0.0;
+  } else {
+    double u = std::sqrt(x);
+    const double du = (128.0 - 8.0) / (SK_NB - 1);
+    double pos = (u - 8.0) / du;
+    int i1 = (int)std::floor(pos);
+    if (i1 < 1) i1 = 1;
+    if (i1 > SK_NB - 3) i1 = SK_NB - 3;
+    out = sk_interp4(T.tb + (int64_t)n * SK_NB, i1, pos - i1) + x;
+  }
+  if (x >= 709.782712893384 || out > 709.782712893384) out = INFINITY;
+  else if (out < -745.13) out = NEG_INF;
+  return -2.0 * lam + out;
+}
+
+struct UnrelGlob {
+  int cov[4];        // GLOBAL_COV (E, R, H, D)
+  double dr_ratio;
+  int read_len;
+  double r_logp;     // const.c R_LOGP
+  double e_po_base;  // const.c E_PO_BASE
+  double pe_mean;    // const.c PE_MEAN
+  SkTab sk;
+};
+
+static inline double u_logp_poisson(int k, int lam) {
+  k = clamp_cnt(k);
+  return k * std::log((double)lam) - lam - g_logfact[k];
+}
+
+static inline double u_logp_binom(int k, int n, double p) {
+  k = clamp_cnt(k);
+  n = clamp_cnt(n);
+  return g_logfact[n] - g_logfact[k] - g_logfact[n - k] + k * std::log(p) +
+         (n - k) * std::log(1 - p);
+}
+
+static inline double u_lin_interp(int x, int pos1, int cnt1, int pos2,
+                                  int cnt2) {
+  return (double)cnt1 +
+         ((double)cnt2 - cnt1) * (x - pos1) / (pos2 - pos1);
+}
+
+static inline double u_logp_trans(int b, int e, int cb, int ce, int cov,
+                                  int read_len) {
+  return logp_skellam(ce - cb, (double)cov * std::abs(e - b) / read_len);
+}
+
+static inline double u_safe_log(double x) {
+  return x > 0.0 ? std::log(x) : NEG_INF;
+}
+
+// nearest reliable intervals with state s on each side (class_unrel.c:11-25)
+static inline void u_find_nn(const OutIntvl* iv, const int8_t* asgn, int N,
+                             int idx, int s, int* lo, int* ro) {
+  int l = idx - 1;
+  while (l >= 0 && !(asgn[l] == s && iv[l].is_rel)) l--;
+  int r = idx + 1;
+  while (r < N && !(asgn[r] == s && iv[r].is_rel)) r++;
+  if (r >= N) r = -1;
+  *lo = l;
+  *ro = r;
+}
+
+// estimated coverage at position x for state s (class_unrel.c:27-51);
+// (l,r) = nearest rel-s pair, (lo,ro) = nearest rel-other-state pair
+// (precomputed by the caller — the reference recomputes the same scans)
+static int u_est_cov(const UnrelGlob& G, const OutIntvl* iv, int x, int s,
+                     int l, int r, int lo, int ro) {
+  if (l != -1 && r != -1)
+    return (int)u_lin_interp(x, iv[l].e - 1, iv[l].cce, iv[r].b, iv[r].ccb);
+  if (l != -1) return iv[l].cce;
+  if (r != -1) return iv[r].ccb;
+  // cross-state fallback (from_est = true leg of the reference recursion)
+  int cov;
+  if (lo != -1 && ro != -1)
+    cov = (int)u_lin_interp(x, iv[lo].e - 1, iv[lo].cce, iv[ro].b,
+                            iv[ro].ccb);
+  else if (lo != -1)
+    cov = iv[lo].cce;
+  else if (ro != -1)
+    cov = iv[ro].ccb;
+  else
+    cov = 0;
+  if (cov > 0) return s == U_HAPLO ? cov / 2 : cov * 2;
+  return G.cov[s];
+}
+
+static inline double u_logp_e(const UnrelGlob& G, const OutIntvl& I) {
+  double lp = u_logp_poisson(I.cb, G.cov[U_ERROR]) +
+              u_logp_poisson(I.ce, G.cov[U_ERROR]) + G.e_po_base;
+  return I.pe > lp ? I.pe : lp;
+}
+
+static double u_logp_r(const UnrelGlob& G, const OutIntvl* iv, int idx,
+                        int l, int r) {
+  const OutIntvl& I = iv[idx];
+  if ((I.cb > I.ce ? I.cb : I.ce) >= G.cov[U_REPEAT]) return 0.0;
+  int dcov_l, dcov_r;
+  if (l == -1 && r == -1)
+    dcov_l = dcov_r = G.cov[U_DIPLO];
+  else if (l == -1)
+    dcov_l = dcov_r = iv[r].cb;
+  else if (r == -1)
+    dcov_l = dcov_r = iv[l].ce;
+  else {
+    dcov_l = iv[l].ce;
+    dcov_r = iv[r].cb;
+  }
+  int rcov_l = (int)(G.dr_ratio * dcov_l);
+  int rcov_r = (int)(G.dr_ratio * dcov_r);
+  if (I.cb >= rcov_l || I.ce >= rcov_r) return G.r_logp;
+  return u_logp_binom(I.cb, rcov_l, 1 - G.pe_mean) +
+         u_logp_binom(I.ce, rcov_r, 1 - G.pe_mean);
+}
+
+static double u_logp_hd(const UnrelGlob& G, const OutIntvl* iv,
+                        const int8_t* asgn, int N, int s, int idx,
+                        int l_rel, int r_rel, int lo, int ro) {
+  const OutIntvl& I = iv[idx];
+
+  double logp_l_er = NEG_INF, logp_l_sf = NEG_INF, logp_l_sf_er = NEG_INF;
+  if (idx - 1 >= 0 && asgn[idx - 1] == s) logp_l_er = I.pe_o_b;
+  if (l_rel != -1) {
+    const OutIntvl& L = iv[l_rel];
+    logp_l_sf = sk_logp_skellam(
+        G.sk, I.cb - L.cce,
+        (double)L.cce * std::abs(I.b - (L.e - 1)) / G.read_len);
+  }
+  int est_cnt = u_est_cov(G, iv, I.b, s, l_rel, r_rel, lo, ro);
+  if (est_cnt >= I.cb)
+    logp_l_sf_er = u_safe_log(p_errorin(OTHERS, 0.1, est_cnt, I.cb));
+  double logp_l = logp_l_er;
+  if (logp_l_sf > logp_l) logp_l = logp_l_sf;
+  if (logp_l_sf_er > logp_l) logp_l = logp_l_sf_er;
+
+  double logp_r_er = NEG_INF, logp_r_sf = NEG_INF, logp_r_sf_er = NEG_INF;
+  if (idx + 1 < N && asgn[idx + 1] == s) logp_r_er = I.pe_o_e;
+  if (r_rel != -1) {
+    const OutIntvl& R = iv[r_rel];
+    logp_r_sf = sk_logp_skellam(
+        G.sk, R.ccb - I.ce,
+        (double)R.ccb * std::abs(R.b - (I.e - 1)) / G.read_len);
+  }
+  est_cnt = u_est_cov(G, iv, I.e - 1, s, l_rel, r_rel, lo, ro);
+  if (est_cnt >= I.ce)
+    logp_r_sf_er = u_safe_log(p_errorin(OTHERS, 0.1, est_cnt, I.ce));
+  double logp_r = logp_r_er;
+  if (logp_r_sf > logp_r) logp_r = logp_r_sf;
+  if (logp_r_sf_er > logp_r) logp_r = logp_r_sf_er;
+
+  if (logp_l == NEG_INF && logp_r == NEG_INF) {
+    logp_l = u_logp_poisson(I.cb, G.cov[s]);
+    logp_r = u_logp_poisson(I.ce, G.cov[s]);
+  } else if (logp_l == NEG_INF) {
+    logp_l = logp_r;
+  } else if (logp_r == NEG_INF) {
+    logp_r = logp_l;
+  }
+  return logp_l + logp_r;
+}
+
+// one relaxation update (class_unrel.c:192-246)
+static void u_update_state(const UnrelGlob& G, const OutIntvl* iv,
+                           int8_t* asgn, int N, int idx) {
+  const OutIntvl& I = iv[idx];
+  if ((I.cb > I.ce ? I.cb : I.ce) >= G.cov[U_REPEAT]) {
+    asgn[idx] = U_REPEAT;
+    return;
+  }
+  int lH, rH, lD, rD;
+  u_find_nn(iv, asgn, N, idx, U_HAPLO, &lH, &rH);
+  u_find_nn(iv, asgn, N, idx, U_DIPLO, &lD, &rD);
+  double logpmax = NEG_INF;
+  int smax = -1;
+  for (int s = 0; s < 4; s++) {
+    double logp;
+    if (s == U_ERROR)
+      logp = u_logp_e(G, I);
+    else if (s == U_HAPLO)
+      logp = u_logp_hd(G, iv, asgn, N, U_HAPLO, idx, lH, rH, lD, rD);
+    else if (s == U_DIPLO)
+      logp = u_logp_hd(G, iv, asgn, N, U_DIPLO, idx, lD, rD, lH, rH);
+    else
+      logp = u_logp_r(G, iv, idx, lD, rD);
+    if (logpmax < logp) {
+      logpmax = logp;
+      smax = s;
+    }
+  }
+  if (smax != -1 && asgn[idx] != smax) asgn[idx] = (int8_t)smax;
+}
+
+// two relaxation sweeps for one read (class_unrel.c:248-300)
+static void u_classify_read(const UnrelGlob& G, const OutIntvl* iv,
+                            int8_t* asgn, int N, int* ord) {
+  for (int i = 0; i < N; i++) ord[i] = i;
+  std::stable_sort(ord, ord + N, [&](int a, int b) {
+    int ka = iv[a].cb < iv[a].ce ? iv[a].cb : iv[a].ce;
+    int kb = iv[b].cb < iv[b].ce ? iv[b].cb : iv[b].ce;
+    return ka < kb;
+  });
+  std::vector<bool> fixed(N);
+  for (int i = 0; i < N; i++)
+    fixed[i] = iv[i].is_rel && (asgn[i] == U_HAPLO || asgn[i] == U_DIPLO);
+  for (int i = N - 1; i >= 0; i--)
+    if (!fixed[ord[i]]) u_update_state(G, iv, asgn, N, ord[i]);
+  for (int i = 0; i < N; i++)
+    if (!fixed[ord[i]]) u_update_state(G, iv, asgn, N, ord[i]);
+}
+
 }  // namespace
 
 extern "C" {
@@ -951,6 +1211,87 @@ void cp_wall_stage_batch(
       if (N < 0) { n_out[i] = -1; n_rel[i] = 0; continue; }
       n_rel[i] = W.find_rel(out + (int64_t)i * slot, N);
       n_out[i] = N;
+    }
+  };
+  if (T == 1) { worker(); return; }
+  std::vector<std::thread> ts;
+  for (int t = 0; t < T; t++) ts.emplace_back(worker);
+  for (auto& th : ts) th.join();
+}
+
+// Batched unreliable-interval relaxation (class_unrel.c:248-300 semantics,
+// ported from the golden-verified oracle classpro_tpu/exact/unrel.py).
+// iv/asgn are slotted per read (read i at offset i*slot); asgn holds the
+// reliable-DP result for reliable intervals and U_NSTATE elsewhere, and is
+// relaxed in place.
+void cp_unrel_batch(int cov_e, int cov_r, int cov_h, int cov_d,
+                    double dr_ratio, int read_len, double r_logp,
+                    double e_po_base, double pe_mean,
+                    const double* sk_ta, const double* sk_tb, int n_reads,
+                    const OutIntvl* iv, int slot, const int* n_iv,
+                    int8_t* asgn, int threads) {
+  init_logfact();
+  UnrelGlob G;
+  G.cov[0] = cov_e; G.cov[1] = cov_r; G.cov[2] = cov_h; G.cov[3] = cov_d;
+  G.dr_ratio = dr_ratio; G.read_len = read_len;
+  G.r_logp = r_logp; G.e_po_base = e_po_base; G.pe_mean = pe_mean;
+  G.sk.ta = sk_ta; G.sk.tb = sk_tb;
+
+  int T = threads;
+  int hw = (int)std::thread::hardware_concurrency();
+  if (hw > 0 && T > hw) T = hw;
+  if (T < 1) T = 1;
+  std::atomic<int> next(0);
+
+  auto worker = [&]() {
+    std::vector<int> ord(slot);
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n_reads) return;
+      int N = n_iv[i];
+      if (N <= 0) continue;
+      u_classify_read(G, iv + (int64_t)i * slot,
+                      asgn + (int64_t)i * slot, N, ord.data());
+    }
+  };
+  if (T == 1) { worker(); return; }
+  std::vector<std::thread> ts;
+  for (int t = 0; t < T; t++) ts.emplace_back(worker);
+  for (auto& th : ts) th.join();
+}
+
+// Expand per-interval assignments to per-base class characters
+// (ClassPro.c:265-270,289).  out_off[i] is the byte offset of read i's
+// class line (length = K-1 + plen); the first K-1 bytes become 'N'.
+void cp_expand_batch(int n_reads, const OutIntvl* iv, int slot,
+                     const int* n_iv, const int8_t* asgn, int K,
+                     const int64_t* out_off, char* out, int threads) {
+  static const char stoc[4] = {'E', 'R', 'H', 'D'};
+  int T = threads;
+  int hw = (int)std::thread::hardware_concurrency();
+  if (hw > 0 && T > hw) T = hw;
+  if (T < 1) T = 1;
+  std::atomic<int> next(0);
+
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n_reads) return;
+      char* dst = out + out_off[i];
+      int64_t len = out_off[i + 1] - out_off[i];
+      memset(dst, 'N', (size_t)len);
+      const OutIntvl* ivr = iv + (int64_t)i * slot;
+      const int8_t* ar = asgn + (int64_t)i * slot;
+      int N = n_iv[i];
+      for (int j = 0; j < N; j++) {
+        int a = ar[j];
+        if (a < 0) a = 0;
+        if (a > 3) a = 3;
+        int b = ivr[j].b, e = ivr[j].e;
+        if (b < 0) b = 0;
+        if (K - 1 + e > len) e = (int)len - (K - 1);
+        if (e > b) memset(dst + K - 1 + b, stoc[a], (size_t)(e - b));
+      }
     }
   };
   if (T == 1) { worker(); return; }
