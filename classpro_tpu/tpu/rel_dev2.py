@@ -176,10 +176,14 @@ def _lane_step(carry, xs, consts, P: RelParams2):
 
     logpE = jnp.broadcast_to(logpE_i[:, None], (B, 4))
 
-    # R target emission (class_rel.c:172-211 via carried repeat count)
+    # R target emission (class_rel.c:172-211 via carried repeat count);
+    # logfact reads as one small direct gather (a 256-wide f64 one-hot
+    # costs ~115us/step at this batch; the gather ~15us)
     strc = st_cnt[:, :, REPEAT]                              # (B, 4)
-    lf_pair = _lf_oh(jnp.concatenate(
-        [strc, strc - bcnt_i[:, None]], axis=1), P.lf_small)
+    n1 = P.lf_small.shape[0]
+    idx_pair = jnp.clip(jnp.concatenate(
+        [strc, strc - bcnt_i[:, None]], axis=1), 0, n1 - 1)
+    lf_pair = P.lf_small[idx_pair]
     lf_strc, lf_sd = lf_pair[:, :4], lf_pair[:, 4:]
     logp_er_r = jnp.where(
         bcnt_i[:, None] < strc,

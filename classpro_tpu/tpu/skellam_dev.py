@@ -216,7 +216,9 @@ def logp_skellam_dev(k, lam, ta, tb, logfact):
 
 
 class PackedSkellam(NamedTuple):
-    tab: jnp.ndarray      # (NMAX+1, NA_GRID + NB_GRID, 4) f64 packed nodes
+    tab: jnp.ndarray      # (NMAX+1, NA_GRID+NB_GRID, 5) f64: 4 Lagrange
+    #                       nodes + logfact[n] (rides the same gather, so
+    #                       no 385-wide one-hot inside device loops)
     lf_n: jnp.ndarray     # (NMAX+1,) logfact restricted to table orders
 
 
@@ -237,6 +239,10 @@ def build_packed_skellam(nmax: int = NMAX):
         return tab[:, cols]                                     # (n, npts, 4)
 
     packed = np.concatenate([pack(st.table_a), pack(st.table_b)], axis=1)
+    lf_col = np.broadcast_to(
+        st.logfact[: nmax + 1][:, None, None],
+        (nmax + 1, packed.shape[1], 1))
+    packed = np.concatenate([packed, lf_col], axis=2)
     out = (packed, st.logfact[: nmax + 1].copy())
     _PACKED_CACHE[nmax] = out
     return out
@@ -301,9 +307,9 @@ def skellam_value(nodes, ps: PackedSkellam, n, f, in_a, x, k, lam):
     """Assemble the log-Skellam value from gathered nodes (bit-identical
     arithmetic to logp_skellam_dev)."""
     val = _interp4(nodes, f)
-    # logfact[n] via one-hot contraction (exact selection, no gather)
-    oh = jnp.arange(NMAX + 1) == n[..., None]
-    lf_n = jnp.sum(jnp.where(oh, ps.lf_n, 0.0), axis=-1)
+    # logfact[n] rides the node gather as column 4 (same values as the
+    # one-hot contraction it replaces — bit-identical)
+    lf_n = nodes[..., 4]
 
     log_xh = jnp.where(x > 0, jnp.log(x / 2.0), -jnp.inf)
     val_a = val + n * log_xh - lf_n
