@@ -459,16 +459,39 @@ def rel_dp_pass2(bpos, bcnt, epos, ecnt, max_cc, lf_bcnt, logpE_all,
     consts = [{k: L[k] for k in ("cov", "fwd", "OFF", "PSTEP", "covR",
                                  "covH", "m")} for L in Ls]
 
-    def body(carries, xs_t):
-        outs = []
-        new = []
-        for s in range(lanes):
-            c_n, out = _lane_step(carries[s], xs_t[s], consts[s], P)
-            new.append(c_n)
-            outs.append(out)
-        return tuple(new), tuple(outs)
+    # dynamic-trip while loop: rows beyond a row's own m are no-ops via
+    # the in-step `live` mask, so running only max(m)-1 iterations (vs
+    # the padded max_m-1) is exactly equivalent; the output buffers'
+    # initial values equal the dead steps' outputs (bp = N_STATE,
+    # only_r = False)
+    trip = jnp.maximum(jnp.max(m) - 1, 0).astype(jnp.int32)
+    bp_buf0 = tuple(jnp.full((max_m - 1, Lb, 4), N_STATE, jnp.int8)
+                    for _ in range(lanes))
+    rp_buf0 = tuple(jnp.zeros((max_m - 1, Lb), bool) for _ in range(lanes))
 
-    carry_f, outs = jax.lax.scan(body, carry0, xs)
+    def w_cond(st):
+        return st[0] < trip
+
+    def w_body(st):
+        t, carries, bp_bufs, rp_bufs = st
+        new = []
+        bp_n = []
+        rp_n = []
+        for s in range(lanes):
+            xs_t = jax.tree_util.tree_map(
+                lambda a: jax.lax.dynamic_index_in_dim(
+                    a, t, 0, keepdims=False), xs[s])
+            c_n, (bp, rp) = _lane_step(carries[s], xs_t, consts[s], P)
+            new.append(c_n)
+            bp_n.append(jax.lax.dynamic_update_index_in_dim(
+                bp_bufs[s], bp, t, 0))
+            rp_n.append(jax.lax.dynamic_update_index_in_dim(
+                rp_bufs[s], rp, t, 0))
+        return t + 1, tuple(new), tuple(bp_n), tuple(rp_n)
+
+    _, carry_f, bp_bufs, rp_bufs = jax.lax.while_loop(
+        w_cond, w_body, (jnp.int32(0), carry0, bp_buf0, rp_buf0))
+    outs = tuple((bp_bufs[s], rp_bufs[s]) for s in range(lanes))
 
     # ---------------- traceback (class_rel.c:606-613) --------------------
     asgns = []
