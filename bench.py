@@ -1,9 +1,10 @@
 #!/usr/bin/env python3
 """Benchmark: k-mers classified per second, end to end.
 
-Runs the production engine (C++ host wall stage + device DP/relaxation)
-over the committed `medium` fixture (398 reads / ~4.0M k-mers), steady
-state (one warm-up pass for compilation, then timed passes).
+Runs the production engine (C++ host wall stage + device reliable DP +
+C++ relaxation/expansion, depth-2 pipelined stream) over the committed
+`medium` fixture (398 reads / ~4.0M k-mers), steady state: a continuous
+stream of repeated passes (~12s), as in production streaming use.
 
 Prints ONE JSON line:
   {"metric": "kmers_classified_per_sec", "value": N, "unit": "kmers/s",
@@ -46,21 +47,24 @@ def main() -> None:
     seqs = [r.seq for r in reads]
     total_kmers = sum(len(p) for p in profs)
 
-    eng = TpuEngine(gm, batch_size=512)
+    eng = TpuEngine(gm, batch_size=200)
 
-    def one_pass():
-        out = []
-        for i in range(0, len(seqs), eng.batch_size):
-            out += eng.classify_chunk(seqs[i:i + eng.batch_size],
-                                      profs[i:i + eng.batch_size])
-        return out
+    def run_stream(reps: int) -> None:
+        B = eng.batch_size
+        chunks = ((seqs[i:i + B], profs[i:i + B])
+                  for _ in range(reps)
+                  for i in range(0, len(seqs), B))
+        for classes in eng.classify_stream(chunks):
+            pass
 
-    one_pass()  # warm-up / compile
+    # warm-up / compile, then size the timed run to ~12s of stream
+    run_stream(1)
     t0 = time.time()
-    reps = 0
-    while time.time() - t0 < 10.0 or reps < 2:
-        one_pass()
-        reps += 1
+    run_stream(2)
+    est = (time.time() - t0) / 2
+    reps = max(3, int(round(12.0 / max(est, 1e-3))))
+    t0 = time.time()
+    run_stream(reps)
     dt = (time.time() - t0) / reps
 
     value = total_kmers / dt

@@ -288,6 +288,84 @@ class TpuEngine:
         return res
 
     # ------------------------------------------------------------------
+    # Pipelined streaming path: chunk k+1's host stages (C++ wall walk,
+    # numpy pack) and chunk k's device DP + result round trip run
+    # concurrently — the wall/relaxation ctypes calls and the fetch's
+    # device wait all release the GIL, so a depth-2 software pipeline
+    # with one background fetch thread keeps host and device both busy.
+    # ------------------------------------------------------------------
+    def classify_stream(self, chunks):
+        """Yield one list of class strings per (seqs, profiles) chunk,
+        in order, with cross-chunk host/device overlap."""
+        import collections
+
+        pending: collections.deque = collections.deque()
+        for seqs, profiles in chunks:
+            pending.append(self._submit(seqs, profiles))
+            if len(pending) >= 2:
+                yield self._finish(pending.popleft())
+        while pending:
+            yield self._finish(pending.popleft())
+
+    def _submit(self, seqs, profiles):
+        """Wall stage + rel pack + async device dispatch for one chunk;
+        the result transfer starts immediately on a fetch thread."""
+        import threading
+
+        todo = [i for i in range(len(seqs)) if len(profiles[i]) > 0]
+        st = {"seqs": seqs, "profiles": profiles, "todo": todo}
+        if not todo or not hasattr(self.wall, "wall_stage_slab"):
+            return st
+        g = sorted(todo, key=lambda i: len(profiles[i]))
+        slab, n_out, n_rel, slot = self.wall.wall_stage_slab(
+            [seqs[i].encode("ascii") for i in g],
+            [profiles[i] for i in g])
+        plens = np.array([len(profiles[i]) for i in g], np.int64)
+        pk = pack_rel_slab(slab, slot, n_out, n_rel, plens)
+        st.update(g=g, slab=slab, n_out=n_out, slot=slot, meta=None)
+        if pk is not None:
+            fb, ib, R, max_m, meta = pk
+            out = rel_only_dev(fb, ib, self.pp, R, max_m)
+            st["meta"] = meta
+            box = {}
+
+            def fetch():
+                box["v"] = np.asarray(out)
+
+            th = threading.Thread(target=fetch, daemon=True)
+            th.start()
+            st["box"], st["thread"] = box, th
+        return st
+
+    def _finish(self, st) -> list[str]:
+        """Join the fetch, run the C++ relaxation + expansion, build
+        the chunk's class strings."""
+        seqs = st["seqs"]
+        res = [""] * len(seqs)
+        if "g" in st:
+            g, slab, n_out, slot = st["g"], st["slab"], st["n_out"], st["slot"]
+            n = len(g)
+            asgn = np.full((n, slot), N_STATE, np.int8)
+            if st["meta"] is not None:
+                st["thread"].join()
+                rel_out = st["box"]["v"]
+                sel, jj, cc, within = st["meta"]
+                asgn[sel[jj], cc] = rel_out[jj, within]
+            self.wall.unrel_batch(slab, slot, n_out, asgn)
+            out_off = np.zeros(n + 1, np.int64)
+            out_off[1:] = np.cumsum([len(seqs[i]) for i in g])
+            buf = self.wall.expand_batch(slab, slot, n_out, asgn, out_off)
+            bts = buf.tobytes()
+            for r, i in enumerate(g):
+                res[i] = bts[out_off[r]: out_off[r + 1]].decode("ascii")
+        elif st["todo"]:
+            self._chunk_alldev(seqs, st["profiles"], st["todo"], res)
+        for i in range(len(seqs)):
+            if not res[i]:
+                res[i] = "N" * len(seqs[i])
+        return res
+
+    # ------------------------------------------------------------------
     def _chunk_native(self, seqs, profiles, todo, res) -> None:
         K = self.gm.kmer
         # profile-length-sorted groups: group k+1's host wall stage
@@ -407,21 +485,23 @@ def classify_file_tpu(fastx_path: str, fastk_root: str, coverage: int = 0,
     P = open_profiles(fastk_root)
     eng = TpuEngine(gm, batch_size=batch_size)
 
-    chunk: list = []
-    rid = 0
-    for rec in read_fastx(fastx_path):
-        chunk.append((rec, P.fetch(rid)))
-        rid += 1
-        if len(chunk) >= batch_size:
-            yield from _emit(eng, chunk)
-            chunk = []
-    if chunk:
-        yield from _emit(eng, chunk)
+    recs: list = []
 
+    def chunk_iter():
+        chunk: list = []
+        rid = 0
+        for rec in read_fastx(fastx_path):
+            chunk.append((rec, P.fetch(rid)))
+            rid += 1
+            if len(chunk) >= batch_size:
+                recs.append([r for r, _ in chunk])
+                yield ([r.seq for r, _ in chunk], [p for _, p in chunk])
+                chunk = []
+        if chunk:
+            recs.append([r for r, _ in chunk])
+            yield ([r.seq for r, _ in chunk], [p for _, p in chunk])
 
-def _emit(eng: TpuEngine, chunk) -> Iterator[ClassRecord]:
-    seqs = [rec.seq for rec, _ in chunk]
-    profs = [p for _, p in chunk]
-    classes = eng.classify_chunk(seqs, profs)
-    for (rec, _), cls in zip(chunk, classes):
-        yield ClassRecord(f"@{rec.name} {rec.comment}", rec.seq, cls)
+    for classes in eng.classify_stream(chunk_iter()):
+        chunk_recs = recs.pop(0)
+        for rec, cls in zip(chunk_recs, classes):
+            yield ClassRecord(f"@{rec.name} {rec.comment}", rec.seq, cls)
