@@ -302,7 +302,7 @@ class TpuEngine:
         pending: collections.deque = collections.deque()
         for seqs, profiles in chunks:
             pending.append(self._submit(seqs, profiles))
-            if len(pending) >= 2:
+            if len(pending) >= 3:
                 yield self._finish(pending.popleft())
         while pending:
             yield self._finish(pending.popleft())

@@ -336,7 +336,9 @@ struct EIntvl { int b, e; double pe; };
 
 struct Workspace {
   std::vector<uint8_t> wall;
-  std::vector<double> perror;  // (plen+1) x 2 x 2
+  std::vector<double> perror;   // (plen+1) x 2 x 2, generation-stamped
+  std::vector<uint32_t> pstamp; // entry valid iff pstamp[k] == pgen
+  uint32_t pgen = 0;
   std::vector<EIntvl> eintvl, ointvl;
   std::vector<uint8_t> cand;
   std::vector<int> cand_idx, bnd;
@@ -358,8 +360,11 @@ class WallWalk {
     return w == DROP ? cd_.l(i + M_.K - 2, t) : cd_.r(i, t);
   }
 
-  inline double& perr(int i, int e, int w) {
-    return ws_.perror[(i * 2 + e) * 2 + w];
+  // generation-stamped lazy table: an entry not written during THIS
+  // read reads as NEG_INF (replaces a per-read O(plen) memset)
+  inline double perr(int i, int e, int w) const {
+    size_t k = ((size_t)i * 2 + e) * 2 + w;
+    return ws_.pstamp[k] == ws_.pgen ? ws_.perror[k] : NEG_INF;
   }
 
   inline double logp_trans(int b, int e, int cb, int ce, int cov) const {
@@ -375,7 +380,11 @@ class WallWalk {
 
   inline void update_perror(int i, int e, int w, int cout, int cin,
                             double erate) {
-    if (perr(i, e, w) == NEG_INF) perr(i, e, w) = p_errorin(e, erate, cout, cin);
+    size_t k = ((size_t)i * 2 + e) * 2 + w;
+    if (ws_.pstamp[k] != ws_.pgen) {
+      ws_.perror[k] = p_errorin(e, erate, cout, cin);
+      ws_.pstamp[k] = ws_.pgen;
+    }
   }
 
   bool find_gain(int i, int cout, int cin, int e, int t, int l, double erate,
@@ -487,7 +496,15 @@ class WallWalk {
     auto& eintvl = ws_.eintvl;
     auto& ointvl = ws_.ointvl;
     wall.assign(plen_ + 1, 0);
-    ws_.perror.assign((plen_ + 1) * 4, NEG_INF);
+    size_t need = (size_t)(plen_ + 1) * 4;
+    if (ws_.perror.size() < need) {
+      ws_.perror.resize(need);
+      ws_.pstamp.resize(need, 0);
+    }
+    if (++ws_.pgen == 0) {
+      std::fill(ws_.pstamp.begin(), ws_.pstamp.end(), 0);
+      ws_.pgen = 1;
+    }
     eintvl.clear();
     ointvl.clear();
 
