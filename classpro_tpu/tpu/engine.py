@@ -1,19 +1,21 @@
 """Batched classification engine (the production path).
 
 Stage split (see ARCHITECTURE.md):
-  host C++: FASTK profile decode, sequence context, wall-detection walk,
-            reliable-interval selection (csrc/classpro_host.cpp — branchy
-            integer scan, bit-identical to the oracle)
-  device:   ONE jitted program per sub-batch (device_pipeline.py):
-            merged fw/bw reliable-interval DP + rescue + reconciliation
-            + both unreliable-relaxation sweeps.  (A two-phase variant
-            with host-compacted relaxation orders was measured
-            net-negative: the mid-pass synchronisation idles the
-            device for more than the dropped steps saved.)
+  host C++  (csrc/classpro_host.cpp): FASTK profile decode, sequence
+            context, wall-detection walk, reliable-interval selection,
+            the two unreliable-relaxation sweeps, and assignment ->
+            class-character expansion — the branchy, irregular work.
+  device    (device_pipeline.rel_only_dev): the merged fw/bw
+            reliable-interval Viterbi DP with rescue, demotion and
+            reconciliation heuristics — the regular, batched f64 math.
 
-Chunks are split into up to four length-sorted sub-batches so scan
-lengths track each sub-batch's own interval maximum; all dispatches
-queue before the single combined result fetch.
+The production entry is `classify_stream`: a depth-3 software pipeline
+in which chunk k+1's host stages overlap chunk k's device program and
+its result round trip (the ctypes calls and the background fetch
+thread's device wait all release the GIL).  `classify_chunk` is the
+synchronous single-chunk form; `_chunk_alldev` is a no-compiler
+fallback that runs relaxation on device too (classify_batch_dev, also
+used by the data-parallel mesh path).
 
 Interval arrays are padded to bucketed shapes to bound jit
 recompilation.  Byte-identity vs the reference binary is a measured

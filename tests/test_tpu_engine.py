@@ -138,3 +138,28 @@ def test_native_context_matches_reference_recurrences():
                            fast[1].ctypes.data, 1)
         assert np.array_equal(ref[0], fast[0]), s
         assert np.array_equal(ref[1], fast[1]), s
+
+
+def test_classify_stream_matches_chunks():
+    """The pipelined stream yields per-chunk results identical to the
+    synchronous path, in input order (engine.py classify_stream)."""
+    from classpro_tpu.estimation import build_global_model
+    from classpro_tpu.io.fastk import load_histogram, open_profiles
+    from classpro_tpu.io.fastx import read_fastx
+    from classpro_tpu.tpu.engine import TpuEngine
+
+    gm = build_global_model(load_histogram(str(FIX / "tiny" / "reads")))
+    P = open_profiles(str(FIX / "tiny" / "reads"))
+    reads = list(read_fastx(str(FIX / "tiny" / "reads.fasta.gz")))
+    n = min(len(reads), 150)
+    seqs = [r.seq for r in reads[:n]]
+    profs = [P.fetch(i) for i in range(n)]
+
+    eng = TpuEngine(gm, batch_size=64)
+    B = 64
+    chunks = [(seqs[i:i + B], profs[i:i + B]) for i in range(0, n, B)]
+    want = [eng.classify_chunk(s, p) for s, p in chunks]
+    got = list(eng.classify_stream(iter(chunks)))
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g == w
