@@ -94,6 +94,25 @@ def cmd_classify(args: argparse.Namespace) -> int:
     root = _root_of(args.source)
     fk_root = args.fastk_root or root
     out = args.output or root + ".class"
+    if getattr(args, "pmm", False):
+        from classpro_tpu.estimation import build_global_model
+        from classpro_tpu.io.fastk import load_histogram, open_profiles
+        from classpro_tpu.pmm import PmmModel
+
+        import numpy as np
+
+        hist = load_histogram(fk_root)
+        gm = build_global_model(hist, coverage=args.coverage,
+                                read_len=args.read_len,
+                                model_path=args.model)
+        by_count = np.zeros(hist.high + 1, np.int64)
+        by_count[hist.low: hist.high + 1] = hist.hist
+        pm = PmmModel(gm, by_count)
+        P = open_profiles(fk_root)
+        for rid in range(P.nreads):
+            n, lam = pm.pmm_vi(P.fetch(rid))
+            print(f"read {rid}: N={n} lambda=({lam[0]:.1f},{lam[1]:.1f})",
+                  file=sys.stderr)
     if args.engine == "exact":
         from classpro_tpu.exact.pipeline import classify_file
 
@@ -233,6 +252,9 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("-T", "--threads", type=int, default=4,
                    help="host-side worker count")
     c.add_argument("--engine", choices=["exact", "tpu"], default="tpu")
+    c.add_argument("--pmm", action="store_true",
+                   help="report per-read Poisson-mixture H/D coverage "
+                        "estimates to stderr (ref DO_PMM, hist.c:159-310)")
     c.add_argument("-s", "--seeds", action="store_true",
                    help="also select alignment seeds (-s in reference); "
                         "writes <out>.seeds (per-position labels) and "
