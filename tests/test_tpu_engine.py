@@ -163,3 +163,50 @@ def test_classify_stream_matches_chunks():
     assert len(got) == len(want)
     for g, w in zip(got, want):
         assert g == w
+
+
+def test_wall_stage_slab_overflow_retry():
+    """wall_stage_slab retries the whole batch with a larger slot when a
+    read's interval count exceeds the slot (native.py)."""
+    from classpro_tpu.estimation import build_global_model
+    from classpro_tpu.io.fastk import load_histogram, open_profiles
+    from classpro_tpu.io.fastx import read_fastx
+    from classpro_tpu.native import NativeWall
+
+    gm = build_global_model(load_histogram(str(FIX / "tiny" / "reads")))
+    P = open_profiles(str(FIX / "tiny" / "reads"))
+    reads = list(read_fastx(str(FIX / "tiny" / "reads.fasta.gz")))[:8]
+    seqs = [r.seq.encode("ascii") for r in reads]
+    profs = [P.fetch(i) for i in range(8)]
+    nw = NativeWall(gm)
+    big, n_big, r_big, _ = nw.wall_stage_slab(seqs, profs)
+    small, n_small, r_small, slot = nw.wall_stage_slab(seqs, profs, slot=8)
+    assert slot > 8  # retried with a larger slot
+    assert (n_big == n_small).all() and (r_big == r_small).all()
+    for i in range(8):
+        a = big.reshape(8, -1)[i][: n_big[i]]
+        b = small.reshape(8, -1)[i][: n_small[i]]
+        assert (a == b).all()
+
+
+def test_classify_chunk_empty_and_mixed_profiles():
+    """Reads with empty profiles come back as all-N, mixed with normal
+    reads (engine classify_chunk / classify_stream)."""
+    import numpy as np
+
+    from classpro_tpu.estimation import build_global_model
+    from classpro_tpu.io.fastk import load_histogram, open_profiles
+    from classpro_tpu.io.fastx import read_fastx
+    from classpro_tpu.tpu.engine import TpuEngine
+
+    gm = build_global_model(load_histogram(str(FIX / "tiny" / "reads")))
+    P = open_profiles(str(FIX / "tiny" / "reads"))
+    reads = list(read_fastx(str(FIX / "tiny" / "reads.fasta.gz")))[:4]
+    seqs = [r.seq for r in reads]
+    profs = [P.fetch(i) for i in range(4)]
+    gold = TpuEngine(gm).classify_chunk(seqs, profs)
+    seqs2 = [seqs[0], seqs[1], "A" * 50, seqs[2], seqs[3]]
+    profs2 = [profs[0], profs[1], np.zeros(0, np.uint16), profs[2], profs[3]]
+    out = TpuEngine(gm).classify_chunk(seqs2, profs2)
+    assert out[2] == "N" * 50
+    assert [out[0], out[1], out[3], out[4]] == gold
