@@ -88,6 +88,7 @@ def get_lib():
             ctypes.c_double, ctypes.c_int, ctypes.c_double,
             ctypes.c_double, ctypes.c_double,
             ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int,
             ctypes.c_int, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int]
         lib.cp_expand_batch.restype = None
@@ -246,15 +247,20 @@ class NativeWall:
             threads = min(_os.cpu_count() or 1, 16)
         if not hasattr(self, "_sk"):
             from classpro_tpu.tpu.skellam_dev import build_skellam_tables
+            from classpro_tpu.tpu.tables import build_tables
 
             st = build_skellam_tables()
+            dt = build_tables(gm)
             self._sk = (np.ascontiguousarray(st.table_a),
-                        np.ascontiguousarray(st.table_b))
+                        np.ascontiguousarray(st.table_b),
+                        np.ascontiguousarray(dt.btg_log()[dt.unrel_idx]),
+                        dt.n_cap)
         self.lib.cp_unrel_batch(
             int(gm.cov[0]), int(gm.cov[1]), int(gm.cov[2]), int(gm.cov[3]),
             float(gm.dr_ratio), gm.read_len, d.r_logp, d.e_po_base,
             d.pe_mean,
-            self._sk[0].ctypes.data, self._sk[1].ctypes.data, len(n_out),
+            self._sk[0].ctypes.data, self._sk[1].ctypes.data,
+            self._sk[2].ctypes.data, self._sk[3], len(n_out),
             slab.ctypes.data_as(ctypes.c_void_p), slot,
             n_out.ctypes.data, asgn.ctypes.data, threads)
 

@@ -902,7 +902,13 @@ struct UnrelGlob {
   double e_po_base;  // const.c E_PO_BASE
   double pe_mean;    // const.c PE_MEAN
   SkTab sk;
+  const double* btg; // (n_cap, n_cap) log binom_test_g(k, n, 0.1) table
+  int n_cap;         //   (bit-exact precompute, tables.py _btg_row)
 };
+
+// log p_errorin(OTHERS, 0.1, est, cin) with est >= cin: table row when
+// in range, exact loop otherwise (rare: est >= n_cap)
+static inline double u_logp_errorin_o(const UnrelGlob& G, int est, int cin);
 
 static inline double u_logp_poisson(int k, int lam) {
   k = clamp_cnt(k);
@@ -929,6 +935,13 @@ static inline double u_logp_trans(int b, int e, int cb, int ce, int cov,
 
 static inline double u_safe_log(double x) {
   return x > 0.0 ? std::log(x) : NEG_INF;
+}
+
+static inline double u_logp_errorin_o(const UnrelGlob& G, int est, int cin) {
+  int k = est - cin;
+  if (G.btg && est >= 1 && est < G.n_cap && k < G.n_cap)
+    return G.btg[(size_t)est * G.n_cap + k];
+  return u_safe_log(p_errorin(OTHERS, 0.1, est, cin));
 }
 
 // nearest reliable intervals with state s on each side (class_unrel.c:11-25)
@@ -1010,7 +1023,7 @@ static double u_logp_hd(const UnrelGlob& G, const OutIntvl* iv,
   }
   int est_cnt = u_est_cov(G, iv, I.b, s, l_rel, r_rel, lo, ro);
   if (est_cnt >= I.cb)
-    logp_l_sf_er = u_safe_log(p_errorin(OTHERS, 0.1, est_cnt, I.cb));
+    logp_l_sf_er = u_logp_errorin_o(G, est_cnt, I.cb);
   double logp_l = logp_l_er;
   if (logp_l_sf > logp_l) logp_l = logp_l_sf;
   if (logp_l_sf_er > logp_l) logp_l = logp_l_sf_er;
@@ -1025,7 +1038,7 @@ static double u_logp_hd(const UnrelGlob& G, const OutIntvl* iv,
   }
   est_cnt = u_est_cov(G, iv, I.e - 1, s, l_rel, r_rel, lo, ro);
   if (est_cnt >= I.ce)
-    logp_r_sf_er = u_safe_log(p_errorin(OTHERS, 0.1, est_cnt, I.ce));
+    logp_r_sf_er = u_logp_errorin_o(G, est_cnt, I.ce);
   double logp_r = logp_r_er;
   if (logp_r_sf > logp_r) logp_r = logp_r_sf;
   if (logp_r_sf_er > logp_r) logp_r = logp_r_sf_er;
@@ -1244,7 +1257,8 @@ void cp_wall_stage_batch(
 void cp_unrel_batch(int cov_e, int cov_r, int cov_h, int cov_d,
                     double dr_ratio, int read_len, double r_logp,
                     double e_po_base, double pe_mean,
-                    const double* sk_ta, const double* sk_tb, int n_reads,
+                    const double* sk_ta, const double* sk_tb,
+                    const double* btg_log, int n_cap, int n_reads,
                     const OutIntvl* iv, int slot, const int* n_iv,
                     int8_t* asgn, int threads) {
   init_logfact();
@@ -1253,6 +1267,7 @@ void cp_unrel_batch(int cov_e, int cov_r, int cov_h, int cov_d,
   G.dr_ratio = dr_ratio; G.read_len = read_len;
   G.r_logp = r_logp; G.e_po_base = e_po_base; G.pe_mean = pe_mean;
   G.sk.ta = sk_ta; G.sk.tb = sk_tb;
+  G.btg = btg_log; G.n_cap = n_cap;
 
   int T = threads;
   int hw = (int)std::thread::hardware_concurrency();
