@@ -78,6 +78,8 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_double, ctypes.c_double,
             ctypes.c_double, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
             ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_char_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
@@ -125,6 +127,22 @@ class NativeWall:
         self._lmaxp1 = em.pe.shape[1]
         self._out = (OutIntvl * 65536)()
         self._nrel = ctypes.c_int(0)
+        self._walk_tab = None
+
+    def _walk_tables(self):
+        """Bit-exact per-erate binomial tail tables for the wall walk
+        (tables.py; shared with the device path via the gm cache)."""
+        if self._walk_tab is None:
+            from classpro_tpu.tpu.tables import build_tables
+
+            dt = build_tables(self.gm)
+            self._walk_tab = (np.ascontiguousarray(dt.btg),
+                              np.ascontiguousarray(dt.erates),
+                              np.ascontiguousarray(dt.pe_idx, np.int32)
+                              if dt.pe_idx.dtype != np.int32 else
+                              np.ascontiguousarray(dt.pe_idx),
+                              int(dt.hc_idx), int(dt.n_cap))
+        return self._walk_tab
 
     def wall_stage(self, seq: bytes, profile: np.ndarray):
         """Returns structured numpy view over the interval records + n_rel."""
@@ -170,6 +188,7 @@ class NativeWall:
         out = np.zeros(n * slot, dtype=_IVDT)
         n_out = np.zeros(n, np.int32)
         n_rel = np.zeros(n, np.int32)
+        btg, erates, pe_idx, hc_idx, n_cap = self._walk_tables()
         self.lib.cp_wall_stage_batch(
             gm.kmer, gm.cmax, int(gm.cov[2]), gm.read_len,
             gm.defaults.max_n_hc, gm.defaults.min_cnt_change,
@@ -178,6 +197,8 @@ class NativeWall:
             gm.defaults.thres_diff_rel, gm.emodel.hc_erate,
             self._lmax.ctypes.data, self._lmaxp1,
             self._pe.ctypes.data, self._cthres.ctypes.data,
+            btg.ctypes.data, erates.ctypes.data, pe_idx.ctypes.data,
+            hc_idx, n_cap,
             n, seq_cat, seq_off.ctypes.data,
             prof_cat.ctypes.data, prof_off.ctypes.data,
             out.ctypes.data_as(ctypes.c_void_p), slot,
@@ -214,9 +235,12 @@ class NativeWall:
         prof_off = np.zeros(n + 1, np.int64)
         prof_off[1:] = np.cumsum([len(p) for p in profiles])
         while True:
-            out = np.zeros(n * slot, dtype=_IVDT)
+            # np.empty: the C++ fills [i*slot, i*slot+n_out[i]) and every
+            # consumer masks to n_out, so zeroing 26MB/chunk is waste
+            out = np.empty(n * slot, dtype=_IVDT)
             n_out = np.zeros(n, np.int32)
             n_rel = np.zeros(n, np.int32)
+            btg, erates, pe_idx, hc_idx, n_cap = self._walk_tables()
             self.lib.cp_wall_stage_batch(
                 gm.kmer, gm.cmax, int(gm.cov[2]), gm.read_len,
                 gm.defaults.max_n_hc, gm.defaults.min_cnt_change,
@@ -225,6 +249,8 @@ class NativeWall:
                 gm.defaults.thres_diff_rel, gm.emodel.hc_erate,
                 self._lmax.ctypes.data, self._lmaxp1,
                 self._pe.ctypes.data, self._cthres.ctypes.data,
+                btg.ctypes.data, erates.ctypes.data, pe_idx.ctypes.data,
+                hc_idx, n_cap,
                 n, seq_cat, seq_off.ctypes.data,
                 prof_cat.ctypes.data, prof_off.ctypes.data,
                 out.ctypes.data_as(ctypes.c_void_p), slot,

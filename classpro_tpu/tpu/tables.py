@@ -119,6 +119,9 @@ def _btg_row(n: int, erate: float) -> np.ndarray:
 def build_tables(gm: GlobalModel, n_cap: int | None = None) -> DeviceTables:
     em = gm.emodel
     n_cap = n_cap or max(2 * gm.cmax + 2, 300)
+    cached = getattr(gm, "_device_tables", None)
+    if cached is not None and cached.n_cap == n_cap:
+        return cached
 
     rates: list[float] = []
 
@@ -142,9 +145,14 @@ def build_tables(gm: GlobalModel, n_cap: int | None = None) -> DeviceTables:
     for r, erate in enumerate(rates):
         for n in range(1, n_cap):
             btg[r, n, : n + 1] = _btg_row(n, erate)
-    return DeviceTables(
+    dt = DeviceTables(
         erates=np.asarray(rates), lerates=np.log(rates),
         l1merates=np.log1p(np.negative(rates)),
         btg=btg, pe_idx=pe_idx, pe=em.pe.copy(), hc_idx=hc_idx,
         unrel_idx=unrel_idx, cthres=em.cthres.copy(),
         logfact=LOGFACT.copy(), n_cap=n_cap)
+    try:
+        object.__setattr__(gm, "_device_tables", dt)
+    except Exception:
+        pass
+    return dt

@@ -160,7 +160,24 @@ struct Model {
   const double* pe;        // [3][lmaxp1]
   const int16_t* cthres;   // [3][lmaxp1][cmax][2][2]
   double logpthres_final_self;
+  // optional bit-exact binom_test_g tail tables (tables.py _btg_row):
+  // btg[(ridx*n_cap + n)*n_cap + k]; erates[ridx] guards value identity
+  const double* btg = nullptr;
+  const double* erates = nullptr;
+  const int32_t* pe_idx = nullptr;   // [3][lmaxp1] -> erate index
+  int hc_idx = -1;
+  int n_cap = 0;
 };
+
+// tail lookup with exact fallback (p_errorin semantics)
+static inline double p_errorin_tab(const Model& M, int e, int ridx,
+                                   double erate, int cout, int cin) {
+  int k = e == SELF ? cin : cout - cin;
+  if (M.btg && ridx >= 0 && M.erates[ridx] == erate && cout >= 1 &&
+      cout < M.n_cap && k >= 0 && k <= cout)
+    return M.btg[((size_t)ridx * M.n_cap + cout) * M.n_cap + k];
+  return p_errorin(e, erate, cout, cin);
+}
 
 static inline int16_t cthres_at(const Model& M, int t, int l, int cout,
                                 int s, int e) {
@@ -379,16 +396,16 @@ class WallWalk {
   }
 
   inline void update_perror(int i, int e, int w, int cout, int cin,
-                            double erate) {
+                            double erate, int ridx) {
     size_t k = ((size_t)i * 2 + e) * 2 + w;
     if (ws_.pstamp[k] != ws_.pgen) {
-      ws_.perror[k] = p_errorin(e, erate, cout, cin);
+      ws_.perror[k] = p_errorin_tab(M_, e, ridx, erate, cout, cin);
       ws_.pstamp[k] = ws_.pgen;
     }
   }
 
   bool find_gain(int i, int cout, int cin, int e, int t, int l, double erate,
-                 EIntvl& out) {
+                 int ridx, EIntvl& out) {
     const int ipk = i + M_.K - 1, ulen = t + 1;
     int max_j = -1;
     double max_pe = NEG_INF, pe;
@@ -410,7 +427,7 @@ class WallWalk {
           !(cout_j < M_.cmax &&
             cthres_ng(e, cin_j, cthres_at(M_, t, l, cout_j, TFINAL, e))) &&
           (e == SELF || logp_diff_pair(i, j) >= M_.thres_diff_eo)) {
-        update_perror(j, e, GAIN, cout_j, cin_j, erate);
+        update_perror(j, e, GAIN, cout_j, cin_j, erate, ridx);
         pe = perr(i, e, DROP) * perr(j, e, GAIN);
       }
     }
@@ -426,8 +443,8 @@ class WallWalk {
            cthres_ng(e, cin_j, cthres_at(M_, 0, 1, cout_j, TFINAL, e))))
         continue;
       if (e == OTHERS && logp_diff_pair(i, j) < M_.thres_diff_eo) continue;
-      double pe_i = p_errorin(e, M_.hc_erate, cout, cin);
-      double pe_j = p_errorin(e, M_.hc_erate, cout_j, cin_j);
+      double pe_i = p_errorin_tab(M_, e, M_.hc_idx, M_.hc_erate, cout, cin);
+      double pe_j = p_errorin_tab(M_, e, M_.hc_idx, M_.hc_erate, cout_j, cin_j);
       pe = pe_i * pe_j;
       if (max_pe < pe) { max_j = j; max_pe = pe; }
     }
@@ -437,7 +454,7 @@ class WallWalk {
   }
 
   bool find_drop(int i, int cout, int cin, int e, int t, int l, double erate,
-                 EIntvl& out) {
+                 int ridx, EIntvl& out) {
     const int imk = i - M_.K + 1, ulen = t + 1;
     int max_j = -1;
     double max_pe = NEG_INF, pe;
@@ -459,7 +476,7 @@ class WallWalk {
           !(cout_j < M_.cmax &&
             cthres_ng(e, cin_j, cthres_at(M_, t, l, cout_j, TFINAL, e))) &&
           (e == SELF || logp_diff_pair(j, i) >= M_.thres_diff_eo)) {
-        update_perror(j, e, DROP, cout_j, cin_j, erate);
+        update_perror(j, e, DROP, cout_j, cin_j, erate, ridx);
         pe = perr(j, e, DROP) * perr(i, e, GAIN);
       }
     }
@@ -475,8 +492,8 @@ class WallWalk {
            cthres_ng(e, cin_j, cthres_at(M_, 0, 1, cout_j, TFINAL, e))))
         continue;
       if (e == OTHERS && logp_diff_pair(j, i) < M_.thres_diff_eo) continue;
-      double pe_i = p_errorin(e, M_.hc_erate, cout, cin);
-      double pe_j = p_errorin(e, M_.hc_erate, cout_j, cin_j);
+      double pe_i = p_errorin_tab(M_, e, M_.hc_idx, M_.hc_erate, cout, cin);
+      double pe_j = p_errorin_tab(M_, e, M_.hc_idx, M_.hc_erate, cout_j, cin_j);
       pe = pe_i * pe_j;
       if (max_pe < pe) { max_j = j; max_pe = pe; }
     }
@@ -539,6 +556,8 @@ class WallWalk {
         double pev = M_.pe[t * M_.lmaxp1 + l];
         if (maxpe < pev) { maxpe = pev; maxt = t; maxl = l; }
       }
+      const int maxridx =
+          M_.pe_idx ? M_.pe_idx[maxt * M_.lmaxp1 + maxl] : -1;
 
       for (int e = SELF; e <= OTHERS; e++) {
         if (wall[i] & P_BY[e]) continue;
@@ -551,12 +570,14 @@ class WallWalk {
         }
         if (e == SELF) {
           if (cout < M_.cmax && cin >= ct_final) continue;
-          update_perror(i, e, wtype, cout, cin, maxpe);
+          update_perror(i, e, wtype, cout, cin, maxpe, maxridx);
           if (perr(i, e, wtype) < M_.pe_thres[TFINAL][e]) continue;
           EIntvl I;
           bool ok = (wtype == DROP)
-                        ? find_gain(i, cout, cin, e, maxt, maxl, maxpe, I)
-                        : find_drop(i, cout, cin, e, maxt, maxl, maxpe, I);
+                        ? find_gain(i, cout, cin, e, maxt, maxl, maxpe,
+                                    maxridx, I)
+                        : find_drop(i, cout, cin, e, maxt, maxl, maxpe,
+                                    maxridx, I);
           if (ok && I.pe >= M_.pe_thres[TFINAL][e]) {
             wall[I.b] |= W_BY[e] | P_BY[e];
             wall[I.e] |= W_BY[e] | P_BY[e];
@@ -567,15 +588,17 @@ class WallWalk {
             wall[i] |= W_BY[OTHERS];
             continue;
           }
-          update_perror(i, e, wtype, cout, cin, maxpe);
+          update_perror(i, e, wtype, cout, cin, maxpe, maxridx);
           if (perr(i, e, wtype) < M_.pe_thres[TFINAL][e]) {
             wall[i] |= W_BY[OTHERS];
             continue;
           }
           EIntvl I;
           bool ok = (wtype == DROP)
-                        ? find_gain(i, cout, cin, e, maxt, maxl, maxpe, I)
-                        : find_drop(i, cout, cin, e, maxt, maxl, maxpe, I);
+                        ? find_gain(i, cout, cin, e, maxt, maxl, maxpe,
+                                    maxridx, I)
+                        : find_drop(i, cout, cin, e, maxt, maxl, maxpe,
+                                    maxridx, I);
           if (ok && I.pe >= M_.pe_thres[TFINAL][e]) {
             wall[I.b] |= P_BY[e];
             wall[I.e] |= P_BY[e];
@@ -1205,6 +1228,8 @@ void cp_wall_stage_batch(
     int min_cnt_change, int max_cnt_change, const double* pe_thres4,
     double thres_diff_eo, double thres_diff_rel, double hc_erate,
     const int* lmax3, int lmaxp1, const double* pe, const int16_t* cthres,
+    const double* btg, const double* erates, const int32_t* pe_idx,
+    int hc_idx, int n_cap,
     int n_reads, const char* seqs, const int64_t* seq_off,
     const uint16_t* profs, const int64_t* prof_off,
     OutIntvl* out, int slot, int* n_out, int* n_rel, int threads) {
@@ -1220,6 +1245,8 @@ void cp_wall_stage_batch(
   M.lmax[0] = lmax3[0]; M.lmax[1] = lmax3[1]; M.lmax[2] = lmax3[2];
   M.lmaxp1 = lmaxp1; M.pe = pe; M.cthres = cthres;
   M.logpthres_final_self = std::log(M.pe_thres[TFINAL][SELF]);
+  M.btg = btg; M.erates = erates; M.pe_idx = pe_idx;
+  M.hc_idx = hc_idx; M.n_cap = n_cap;
 
   int T = threads;
   int hw = (int)std::thread::hardware_concurrency();
