@@ -762,6 +762,7 @@ class WallWalk {
       O.ce = prof_[e - 1];
       O.ccb = O.cce = 0;
       O.is_rel = 0;
+      O.pad = 0;
       O.pe = idx != -1 ? std::log(eintvl[idx].pe) : NEG_INF;
       O.pe_o_b = peob != NEG_INF ? std::log(peob) : NEG_INF;
       O.pe_o_e = peoe != NEG_INF ? std::log(peoe) : NEG_INF;
