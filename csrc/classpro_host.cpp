@@ -529,18 +529,29 @@ class WallWalk {
     // positions pass), so the wall-test work below runs over a compacted
     // candidate index list instead of every position
     auto& cand = ws_.cand;
-    cand.assign(plen_ + 1, 0);
-    for (int i = 1; i < plen_; i++) {
-      int cim1 = prof_[i - 1], ci = prof_[i];
-      int d = cim1 - ci;
-      cand[i] = (uint8_t)((std::min(cim1, ci) < M_.cmax) &
-                          ((d >= M_.min_cnt_change) |
-                           (-d >= M_.min_cnt_change)));
+    cand.assign(plen_ + 9, 0);   // +8 tail pad for the word scan
+    {  // uniform uint16 ops so the compiler vectorizes the flag pass
+      const uint16_t cmax16 = (uint16_t)M_.cmax;
+      const uint16_t mcc16 = (uint16_t)M_.min_cnt_change;
+      for (int i = 1; i < plen_; i++) {
+        uint16_t a = prof_[i - 1], b = prof_[i];
+        uint16_t mn = a < b ? a : b;
+        uint16_t mx = a < b ? b : a;
+        cand[i] = (uint8_t)((mn < cmax16) & ((uint16_t)(mx - mn) >= mcc16));
+      }
     }
+    // collect candidate indices 8 positions at a time (walls are rare,
+    // ~1.5% of positions, so most 8-byte words are zero)
     auto& cidx = ws_.cand_idx;
     cidx.clear();
-    for (int i = 1; i < plen_; i++)
-      if (cand[i]) cidx.push_back(i);
+    const uint8_t* cp = cand.data();
+    for (int base = 0; base < plen_; base += 8) {
+      uint64_t w;
+      memcpy(&w, cp + base, 8);
+      if (!w) continue;
+      for (int b = 0; b < 8; b++)
+        if (cp[base + b]) cidx.push_back(base + b);
+    }
 
     for (int i : cidx) {
       int cim1 = prof_[i - 1], ci = prof_[i];
