@@ -93,6 +93,21 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int,
             ctypes.c_int, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int]
+        lib.cp_pack_rel.restype = None
+        lib.cp_pack_rel.argtypes = [
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p]
+        lib.cp_finish_batch.restype = None
+        lib.cp_finish_batch.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_int, ctypes.c_double,
+            ctypes.c_double, ctypes.c_double,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
         lib.cp_expand_batch.restype = None
         lib.cp_expand_batch.argtypes = [
             ctypes.c_int, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
@@ -289,6 +304,56 @@ class NativeWall:
             self._sk[2].ctypes.data, self._sk[3], len(n_out),
             slab.ctypes.data_as(ctypes.c_void_p), slot,
             n_out.ctypes.data, asgn.ctypes.data, threads)
+
+    def pack_rel(self, slab: np.ndarray, slot: int, n_out: np.ndarray,
+                 n_rel: np.ndarray, plens: np.ndarray, R: int,
+                 max_m: int) -> tuple[np.ndarray, np.ndarray]:
+        """Fill the rel-only transfer blobs from a wall slab (layout:
+        rel_only_dev docstring) in one native call."""
+        iblob = np.empty(4 * R * max_m + 2 * R, np.int32)
+        fblob = np.empty(R * max_m, np.float64)
+        self.lib.cp_pack_rel(
+            len(n_out), slab.ctypes.data_as(ctypes.c_void_p), slot,
+            n_out.ctypes.data, n_rel.ctypes.data,
+            np.ascontiguousarray(plens, np.int64).ctypes.data, R, max_m,
+            iblob.ctypes.data, fblob.ctypes.data)
+        return fblob, iblob
+
+    def finish_batch(self, slab: np.ndarray, slot: int, n_out: np.ndarray,
+                     n_rel: np.ndarray, rel_out, max_m: int,
+                     out_off: np.ndarray, threads: int = 0) -> np.ndarray:
+        """Scatter device rel assignments + relaxation sweeps + class
+        expansion, one threaded native call.  rel_out may be None when
+        no read had reliable intervals."""
+        import os as _os
+
+        gm = self.gm
+        d = gm.defaults
+        if threads <= 0:
+            threads = min(_os.cpu_count() or 1, 16)
+        if not hasattr(self, "_sk"):
+            from classpro_tpu.tpu.skellam_dev import build_skellam_tables
+            from classpro_tpu.tpu.tables import build_tables
+
+            st = build_skellam_tables()
+            dt = build_tables(gm)
+            self._sk = (np.ascontiguousarray(st.table_a),
+                        np.ascontiguousarray(st.table_b),
+                        np.ascontiguousarray(dt.btg_log()[dt.unrel_idx]),
+                        dt.n_cap)
+        buf = np.empty(int(out_off[-1]), np.uint8)
+        rel_ptr = (rel_out.ctypes.data_as(ctypes.c_void_p)
+                   if rel_out is not None else None)
+        self.lib.cp_finish_batch(
+            int(gm.cov[0]), int(gm.cov[1]), int(gm.cov[2]), int(gm.cov[3]),
+            float(gm.dr_ratio), gm.read_len, d.r_logp, d.e_po_base,
+            d.pe_mean,
+            self._sk[0].ctypes.data, self._sk[1].ctypes.data,
+            self._sk[2].ctypes.data, self._sk[3],
+            len(n_out), slab.ctypes.data_as(ctypes.c_void_p), slot,
+            n_out.ctypes.data, n_rel.ctypes.data, rel_ptr, max_m,
+            gm.kmer, out_off.ctypes.data, buf.ctypes.data, threads)
+        return buf
 
     def expand_batch(self, slab: np.ndarray, slot: int, n_out: np.ndarray,
                      asgn: np.ndarray, out_off: np.ndarray,

@@ -310,8 +310,9 @@ class TpuEngine:
             yield self._finish(pending.popleft())
 
     def _submit(self, seqs, profiles):
-        """Wall stage + rel pack + async device dispatch for one chunk;
-        the result transfer starts immediately on a fetch thread."""
+        """Wall stage + rel pack (both C++) + async device dispatch for
+        one chunk; the result transfer starts immediately on a fetch
+        thread."""
         import threading
 
         todo = [i for i in range(len(seqs)) if len(profiles[i]) > 0]
@@ -322,17 +323,21 @@ class TpuEngine:
         slab, n_out, n_rel, slot = self.wall.wall_stage_slab(
             [seqs[i].encode("ascii") for i in g],
             [profiles[i] for i in g])
-        plens = np.array([len(profiles[i]) for i in g], np.int64)
-        pk = pack_rel_slab(slab, slot, n_out, n_rel, plens)
-        st.update(g=g, slab=slab, n_out=n_out, slot=slot, meta=None)
-        if pk is not None:
-            fb, ib, R, max_m, meta = pk
+        st.update(g=g, slab=slab, n_out=n_out, n_rel=n_rel, slot=slot,
+                  max_m=0)
+        sel_n = int((n_rel > 0).sum())
+        if sel_n:
+            plens = np.array([len(profiles[i]) for i in g], np.int64)
+            R = _bucket(sel_n)
+            max_m = _bucket32(int(n_rel.max()))
+            fb, ib = self.wall.pack_rel(slab, slot, n_out, n_rel, plens,
+                                        R, max_m)
             out = rel_only_dev(fb, ib, self.pp, R, max_m)
-            st["meta"] = meta
+            st["max_m"] = max_m
             box = {}
 
             def fetch():
-                box["v"] = np.asarray(out)
+                box["v"] = np.ascontiguousarray(np.asarray(out))
 
             th = threading.Thread(target=fetch, daemon=True)
             th.start()
@@ -340,23 +345,22 @@ class TpuEngine:
         return st
 
     def _finish(self, st) -> list[str]:
-        """Join the fetch, run the C++ relaxation + expansion, build
-        the chunk's class strings."""
+        """Join the fetch, then ONE C++ call: scatter rel assignments,
+        relaxation sweeps, class expansion."""
         seqs = st["seqs"]
         res = [""] * len(seqs)
         if "g" in st:
-            g, slab, n_out, slot = st["g"], st["slab"], st["n_out"], st["slot"]
+            g, slab, slot = st["g"], st["slab"], st["slot"]
+            n_out, n_rel = st["n_out"], st["n_rel"]
             n = len(g)
-            asgn = np.full((n, slot), N_STATE, np.int8)
-            if st["meta"] is not None:
+            rel_out = None
+            if "thread" in st:
                 st["thread"].join()
                 rel_out = st["box"]["v"]
-                sel, jj, cc, within = st["meta"]
-                asgn[sel[jj], cc] = rel_out[jj, within]
-            self.wall.unrel_batch(slab, slot, n_out, asgn)
             out_off = np.zeros(n + 1, np.int64)
             out_off[1:] = np.cumsum([len(seqs[i]) for i in g])
-            buf = self.wall.expand_batch(slab, slot, n_out, asgn, out_off)
+            buf = self.wall.finish_batch(slab, slot, n_out, n_rel,
+                                         rel_out, st["max_m"], out_off)
             bts = buf.tobytes()
             for r, i in enumerate(g):
                 res[i] = bts[out_off[r]: out_off[r + 1]].decode("ascii")

@@ -1331,6 +1331,119 @@ void cp_unrel_batch(int cov_e, int cov_r, int cov_h, int cov_d,
   for (auto& th : ts) th.join();
 }
 
+// Pack the reliable intervals of a wall-stage slab into the rel-only
+// device transfer blobs (layout: classpro_tpu/tpu/device_pipeline.py
+// rel_only_dev docstring).  Row j enumerates reads with n_rel > 0 in
+// read order; padding rows/cols use the neutral values the device
+// pipeline expects (b=0, e=1, ccb=cce=1, pe=-inf, m=plen=1).
+void cp_pack_rel(int n_reads, const OutIntvl* iv, int slot,
+                 const int* n_iv, const int* n_rel, const int64_t* plens,
+                 int R, int max_m, int32_t* iblob, double* fblob) {
+  const size_t sz = (size_t)R * max_m;
+  int32_t* b = iblob;
+  int32_t* e = iblob + sz;
+  int32_t* ccb = iblob + 2 * sz;
+  int32_t* cce = iblob + 3 * sz;
+  int32_t* m = iblob + 4 * sz;
+  int32_t* plen = iblob + 4 * sz + R;
+  for (size_t k = 0; k < sz; k++) {
+    b[k] = 0; e[k] = 1; ccb[k] = 1; cce[k] = 1; fblob[k] = NEG_INF;
+  }
+  for (int r = 0; r < R; r++) { m[r] = 1; plen[r] = 1; }
+  int j = 0;
+  for (int i = 0; i < n_reads; i++) {
+    if (n_rel[i] <= 0) continue;
+    const OutIntvl* ivr = iv + (int64_t)i * slot;
+    int w = 0;
+    const size_t row = (size_t)j * max_m;
+    for (int k = 0; k < n_iv[i]; k++) {
+      if (!ivr[k].is_rel) continue;
+      b[row + w] = ivr[k].b;
+      e[row + w] = ivr[k].e;
+      ccb[row + w] = ivr[k].ccb;
+      cce[row + w] = ivr[k].cce;
+      fblob[row + w] = ivr[k].pe;
+      w++;
+    }
+    m[j] = n_rel[i];
+    plen[j] = (int32_t)plens[i];
+    j++;
+  }
+}
+
+// Finish stage for one chunk: scatter the device's reliable assignments
+// back onto each read's interval list (row j = j-th read with
+// n_rel > 0, same enumeration as cp_pack_rel), run the relaxation
+// sweeps, and expand to class characters — one call, threaded.
+void cp_finish_batch(int cov_e, int cov_r, int cov_h, int cov_d,
+                     double dr_ratio, int read_len, double r_logp,
+                     double e_po_base, double pe_mean,
+                     const double* sk_ta, const double* sk_tb,
+                     const double* btg_log, int n_cap, int n_reads,
+                     const OutIntvl* iv, int slot, const int* n_iv,
+                     const int* n_rel, const int8_t* rel_out, int max_m,
+                     int K, const int64_t* out_off, char* out,
+                     int threads) {
+  init_logfact();
+  UnrelGlob G;
+  G.cov[0] = cov_e; G.cov[1] = cov_r; G.cov[2] = cov_h; G.cov[3] = cov_d;
+  G.dr_ratio = dr_ratio; G.read_len = read_len;
+  G.r_logp = r_logp; G.e_po_base = e_po_base; G.pe_mean = pe_mean;
+  G.sk.ta = sk_ta; G.sk.tb = sk_tb;
+  G.btg = btg_log; G.n_cap = n_cap;
+  static const char stoc[4] = {'E', 'R', 'H', 'D'};
+
+  // rel-row index of each read (enumeration order of cp_pack_rel)
+  std::vector<int> rel_row(n_reads, -1);
+  {
+    int j = 0;
+    for (int i = 0; i < n_reads; i++)
+      if (n_rel[i] > 0) rel_row[i] = j++;
+  }
+
+  int T = threads;
+  int hw = (int)std::thread::hardware_concurrency();
+  if (hw > 0 && T > hw) T = hw;
+  if (T < 1) T = 1;
+  std::atomic<int> next(0);
+
+  auto worker = [&]() {
+    std::vector<int> ord(slot);
+    std::vector<int8_t> asgn(slot);
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n_reads) return;
+      char* dst = out + out_off[i];
+      int64_t len = out_off[i + 1] - out_off[i];
+      memset(dst, 'N', (size_t)len);
+      int N = n_iv[i];
+      if (N <= 0) continue;
+      const OutIntvl* ivr = iv + (int64_t)i * slot;
+      for (int k = 0; k < N; k++) asgn[k] = U_NSTATE;
+      if (rel_row[i] >= 0 && rel_out) {
+        const int8_t* rr = rel_out + (size_t)rel_row[i] * max_m;
+        int w = 0;
+        for (int k = 0; k < N; k++)
+          if (ivr[k].is_rel) asgn[k] = rr[w++];
+      }
+      u_classify_read(G, ivr, asgn.data(), N, ord.data());
+      for (int k = 0; k < N; k++) {
+        int a = asgn[k];
+        if (a < 0) a = 0;
+        if (a > 3) a = 3;
+        int bb = ivr[k].b, ee = ivr[k].e;
+        if (bb < 0) bb = 0;
+        if (K - 1 + ee > len) ee = (int)len - (K - 1);
+        if (ee > bb) memset(dst + K - 1 + bb, stoc[a], (size_t)(ee - bb));
+      }
+    }
+  };
+  if (T == 1) { worker(); return; }
+  std::vector<std::thread> ts;
+  for (int t = 0; t < T; t++) ts.emplace_back(worker);
+  for (auto& th : ts) th.join();
+}
+
 // Expand per-interval assignments to per-base class characters
 // (ClassPro.c:265-270,289).  out_off[i] is the byte offset of read i's
 // class line (length = K-1 + plen); the first K-1 bytes become 'N'.
