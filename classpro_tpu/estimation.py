@@ -119,6 +119,44 @@ def _default_pe(defaults: Defaults) -> tuple[np.ndarray, np.ndarray]:
     return lmax, pe
 
 
+def _quadfit(x: np.ndarray, y: np.ndarray) -> list[float]:
+    """Degree-2 least squares via normal equations + Gaussian elimination
+    with partial pivoting, replicating our GSL-free reference patch's
+    `polynomialfit` operation-for-operation (the oracle binary is built
+    with that patch, so -M runs stay bit-comparable)."""
+    degree = 3
+    A = [[0.0] * degree for _ in range(degree)]
+    b = [0.0] * degree
+    for i in range(len(x)):
+        px = [1.0, 0.0, 0.0]
+        for j in range(1, degree):
+            px[j] = px[j - 1] * x[i]
+        for j in range(degree):
+            b[j] += px[j] * y[i]
+            for k in range(degree):
+                A[j][k] += px[j] * px[k]
+    for j in range(degree):
+        piv = j
+        for k in range(j + 1, degree):
+            if abs(A[k][j]) > abs(A[piv][j]):
+                piv = k
+        if piv != j:
+            A[j], A[piv] = A[piv], A[j]
+            b[j], b[piv] = b[piv], b[j]
+        for k in range(j + 1, degree):
+            f = A[k][j] / A[j][j]
+            for l in range(j, degree):
+                A[k][l] -= f * A[j][l]
+            b[k] -= f * b[j]
+    coef = [0.0] * degree
+    for j in range(degree - 1, -1, -1):
+        s = b[j]
+        for k in range(j + 1, degree):
+            s -= A[j][k] * coef[k]
+        coef[j] = s / A[j][j]
+    return coef
+
+
 def _himodel_pe(path: str, defaults: Defaults) -> tuple[np.ndarray, np.ndarray]:
     """Parse a HIsim error-model file and fit degree-2 polynomials
     (load_himodel, wall.c:55-115).
@@ -145,10 +183,17 @@ def _himodel_pe(path: str, defaults: Defaults) -> tuple[np.ndarray, np.ndarray]:
             y[0] = 0.002
             for j in range(2, 6):
                 col = j * ulen - 2 * ulen
-                vals = mics[:, col]
-                pos = vals[vals > 0.0]
-                y[j - 1] = pos.sum() / len(pos)
-            coef = np.polyfit(x, y, 2)[::-1]  # ascending order
+                # sequential accumulation in unit order (the C loop's
+                # addition order, wall.c:92-99 — pairwise numpy sums can
+                # differ in the last ulps)
+                s = 0.0
+                cnt = 0
+                for v in mics[:, col]:
+                    if v > 0.0:
+                        s += float(v)
+                        cnt += 1
+                y[j - 1] = s / cnt
+            coef = _quadfit(x, y)  # ascending order
             for l in range(1, lmax[t] + 1):
                 pe[t, l] = coef[0] + coef[1] * l + coef[2] * l * l
     return lmax, pe

@@ -36,3 +36,37 @@ def test_golden_byte_identity(fx):
         assert rec.classes == gc, f"read {rid} classes differ"
         n += 1
     assert n == len(gold)
+
+
+def test_himodel_byte_identity_tiny():
+    """-M HIsim error-model mode matches the reference binary's golden
+    (estimation._himodel_pe + _quadfit; ref wall.c:55-115)."""
+    import gzip
+    import tempfile
+
+    from classpro_tpu.estimation import build_global_model
+    from classpro_tpu.io.fastk import load_histogram, open_profiles
+    from classpro_tpu.io.fastx import read_fastx
+    from classpro_tpu.tpu.engine import TpuEngine
+
+    fx = FIX / "tiny"
+    gold = []
+    with gzip.open(fx / "golden_M.class.gz", "rt") as f:
+        while True:
+            h = f.readline()
+            if not h:
+                break
+            f.readline()
+            f.readline()
+            gold.append(f.readline().rstrip("\n"))
+    with tempfile.NamedTemporaryFile(suffix=".model") as tf:
+        tf.write(gzip.open(fx / "hisim.model.gz", "rb").read())
+        tf.flush()
+        gm = build_global_model(load_histogram(str(fx / "reads")),
+                                model_path=tf.name)
+    P = open_profiles(str(fx / "reads"))
+    reads = list(read_fastx(str(fx / "reads.fasta.gz")))[:48]
+    profs = [P.fetch(i) for i in range(48)]
+    out = TpuEngine(gm).classify_chunk([r.seq for r in reads], profs)
+    bad = sum(1 for i in range(48) if out[i] != gold[i])
+    assert bad == 0, f"{bad}/48 reads differ from -M golden"
