@@ -199,6 +199,59 @@ def write_dam(root: str, records) -> int:
     return n
 
 
+def write_db(root: str, records) -> int:
+    """Create <root>.db (+ hidden .idx/.bps) from (header, seq) pairs —
+    fasta2DB-equivalent for N-free reads.  Headers of the PacBio form
+    'movie/well/beg_end' populate origin/fpulse so DazzDB.header (and
+    the reference's db-mode header reconstruction, ClassPro.c:165-177)
+    reproduces them; other headers get origin = read index."""
+    import re
+
+    pwd, base = os.path.split(root)
+    hidden = os.path.join(pwd, "." + base) if pwd else "." + base
+    reads = []
+    totlen = 0
+    maxlen = 0
+    boff = 0
+    prolog = base
+    pat = re.compile(r"^(\S+)/(\d+)/(\d+)_(\d+)$")
+    with open(hidden + ".bps", "wb") as bps:
+        for i, (name, seq) in enumerate(records):
+            m = pat.match(name.split()[0]) if name else None
+            rl = len(seq)
+            if m:
+                prolog = m.group(1)
+                origin, fpulse = int(m.group(2)), int(m.group(3))
+            else:
+                origin, fpulse = i, 0
+            reads.append(DazzRead(origin, rl, fpulse, boff, 0, 0))
+            payload = compress_read(seq)
+            bps.write(payload)
+            boff += len(payload)
+            totlen += rl
+            maxlen = max(maxlen, rl)
+    n = len(reads)
+    with open(hidden + ".idx", "wb") as idx:
+        hdr112 = bytearray(112)
+        struct.pack_into("<4i", hdr112, 0, n, n, -1, 1)
+        struct.pack_into("<4f", hdr112, 16, .25, .25, .25, .25)
+        struct.pack_into("<i", hdr112, 32, maxlen)
+        struct.pack_into("<q", hdr112, 40, totlen)
+        struct.pack_into("<5i", hdr112, 48, n, 0, 0, 0, 0)
+        idx.write(hdr112)
+        for r in reads:
+            idx.write(_READ_STRUCT.pack(r.origin, r.rlen, r.fpulse,
+                                        r.boff, r.coff, r.flags))
+    with open(root + ".db", "w") as f:
+        f.write(f"files = {1:9d}\n")
+        f.write(f"  {n:9d} {base} {prolog}\n")
+        f.write(f"blocks = {1:9d}\n")
+        f.write(f"size = {200:11d} cutoff = {0:9d} all = {1:1d}\n")
+        f.write(f" {0:9d} {0:9d}\n")
+        f.write(f" {n:9d} {n:9d}\n")
+    return n
+
+
 class TrackWriter:
     """.anno/.data track writer (header layout per io.c:299-313)."""
 

@@ -58,3 +58,24 @@ def test_track_roundtrip(tmp_path):
     assert size == 0
     assert list(offs) == [0, 16, 16]
     assert np.frombuffer(data, "<i4").tolist() == [5, 9, 20, 30]
+
+
+def test_db_roundtrip(tmp_path):
+    """.db mode: PacBio-style headers round-trip through origin/fpulse
+    (write_db + DazzDB; ref DB.c Open_DB/Load_Read, ClassPro.c:165-177)."""
+    from classpro_tpu.io.dazz import DazzDB, write_db
+
+    recs = [("movieX/17/100_160", "ACGTACGT" * 20),
+            ("movieX/18/0_52", "TTGGCCAA" * 13),
+            ("plain_header", "ACCA" * 10)]
+    recs = [(h, s[: {0: 60, 1: 52, 2: 40}[i]])
+            for i, (h, s) in enumerate(recs)]
+    root = str(tmp_path / "reads")
+    assert write_db(root, recs) == 3
+    db = DazzDB(root + ".db")
+    assert not db.is_dam and db.nreads == 3
+    for i, (h, s) in enumerate(recs):
+        assert db.load_read(i) == s
+    assert db.header(0) == "@movieX/17/100_160"
+    assert db.header(1) == "@movieX/18/0_52"
+    db.close()

@@ -210,3 +210,35 @@ def test_classify_chunk_empty_and_mixed_profiles():
     out = TpuEngine(gm).classify_chunk(seqs2, profs2)
     assert out[2] == "N" * 50
     assert [out[0], out[1], out[3], out[4]] == gold
+
+
+def test_long_reads_match_oracle():
+    """Reads near MAX_READ_LEN (const.c:57) through the production
+    engine equal the scalar oracle (stress for slot sizing, bucketed
+    scan lengths and the pipelined stream)."""
+    import pathlib
+    import tempfile
+
+    from classpro_tpu.estimation import build_global_model
+    from classpro_tpu.exact.pipeline import ReadClassifier
+    from classpro_tpu.io.fastk import load_histogram, open_profiles
+    from classpro_tpu.io.fastx import read_fastx
+    from classpro_tpu.tools.simulate import SimConfig, generate_dataset
+    from classpro_tpu.tpu.engine import TpuEngine
+
+    with tempfile.TemporaryDirectory() as td:
+        generate_dataset(td, SimConfig(
+            seed=11, genome_len=120_000, coverage=12.0,
+            read_len_mean=55_000, read_len_sd=4_000, read_len_min=40_000))
+        root = str(pathlib.Path(td) / "reads")
+        gm = build_global_model(load_histogram(root))
+        P = open_profiles(root)
+        reads = list(read_fastx(root + ".fasta"))
+        n = min(len(reads), 6)
+        seqs = [r.seq for r in reads[:n]]
+        profs = [P.fetch(i) for i in range(n)]
+        assert max(len(s) for s in seqs) >= 40_000
+        got = TpuEngine(gm, batch_size=4).classify_chunk(seqs, profs)
+        rc = ReadClassifier(gm)
+        for i in range(n):
+            assert got[i] == rc.classify(seqs[i], profs[i]), f"read {i}"
