@@ -93,6 +93,19 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int,
             ctypes.c_int, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int]
+        lib.cp_wall_stage_batch_ptr.restype = None
+        lib.cp_wall_stage_batch_ptr.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int]
         lib.cp_pack_rel.restype = None
         lib.cp_pack_rel.argtypes = [
             ctypes.c_int, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
@@ -241,14 +254,13 @@ class NativeWall:
         n = len(seqs)
         if threads <= 0:
             threads = min(_os.cpu_count() or 1, 16)
-        seq_cat = b"".join(seqs)
-        seq_off = np.zeros(n + 1, np.int64)
-        seq_off[1:] = np.cumsum([len(s) for s in seqs])
-        prof_cat = np.ascontiguousarray(
-            np.concatenate([np.asarray(p, np.uint16) for p in profiles])
-            if n else np.zeros(0, np.uint16), np.uint16)
-        prof_off = np.zeros(n + 1, np.int64)
-        prof_off[1:] = np.cumsum([len(p) for p in profiles])
+        # pointer arrays into the caller-owned buffers (no concatenation)
+        profs_c = [np.ascontiguousarray(p, np.uint16) for p in profiles]
+        seq_ptrs = (ctypes.c_char_p * n)(*seqs)
+        prof_ptrs = (ctypes.c_void_p * n)(
+            *[p.ctypes.data for p in profs_c])
+        seq_len = np.array([len(s) for s in seqs], np.int32)
+        prof_len = np.array([len(p) for p in profs_c], np.int32)
         while True:
             # np.empty: the C++ fills [i*slot, i*slot+n_out[i]) and every
             # consumer masks to n_out, so zeroing 26MB/chunk is waste
@@ -256,7 +268,7 @@ class NativeWall:
             n_out = np.zeros(n, np.int32)
             n_rel = np.zeros(n, np.int32)
             btg, erates, pe_idx, hc_idx, n_cap = self._walk_tables()
-            self.lib.cp_wall_stage_batch(
+            self.lib.cp_wall_stage_batch_ptr(
                 gm.kmer, gm.cmax, int(gm.cov[2]), gm.read_len,
                 gm.defaults.max_n_hc, gm.defaults.min_cnt_change,
                 gm.defaults.max_cnt_change,
@@ -266,8 +278,8 @@ class NativeWall:
                 self._pe.ctypes.data, self._cthres.ctypes.data,
                 btg.ctypes.data, erates.ctypes.data, pe_idx.ctypes.data,
                 hc_idx, n_cap,
-                n, seq_cat, seq_off.ctypes.data,
-                prof_cat.ctypes.data, prof_off.ctypes.data,
+                n, seq_ptrs, seq_len.ctypes.data,
+                prof_ptrs, prof_len.ctypes.data,
                 out.ctypes.data_as(ctypes.c_void_p), slot,
                 n_out.ctypes.data, n_rel.ctypes.data, threads)
             if (n_out >= 0).all():

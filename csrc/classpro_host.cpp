@@ -1331,6 +1331,57 @@ void cp_unrel_batch(int cov_e, int cov_r, int cov_h, int cov_d,
   for (auto& th : ts) th.join();
 }
 
+// Pointer-array variant of cp_wall_stage_batch: reads stay in their
+// caller-owned buffers (no concatenated copies).
+void cp_wall_stage_batch_ptr(
+    int K, int cmax, int cov_h, int read_len, int max_n_hc,
+    int min_cnt_change, int max_cnt_change, const double* pe_thres4,
+    double thres_diff_eo, double thres_diff_rel, double hc_erate,
+    const int* lmax3, int lmaxp1, const double* pe, const int16_t* cthres,
+    const double* btg, const double* erates, const int32_t* pe_idx,
+    int hc_idx, int n_cap,
+    int n_reads, const char* const* seqs, const int32_t* seq_len,
+    const uint16_t* const* profs, const int32_t* prof_len,
+    OutIntvl* out, int slot, int* n_out, int* n_rel, int threads) {
+  init_logfact();
+  Model M;
+  M.K = K; M.cmax = cmax; M.cov_h = cov_h; M.read_len = read_len;
+  M.max_n_hc = max_n_hc; M.min_cnt_change = min_cnt_change;
+  M.max_cnt_change = max_cnt_change;
+  M.pe_thres[0][0] = pe_thres4[0]; M.pe_thres[0][1] = pe_thres4[1];
+  M.pe_thres[1][0] = pe_thres4[2]; M.pe_thres[1][1] = pe_thres4[3];
+  M.thres_diff_eo = thres_diff_eo; M.thres_diff_rel = thres_diff_rel;
+  M.hc_erate = hc_erate;
+  M.lmax[0] = lmax3[0]; M.lmax[1] = lmax3[1]; M.lmax[2] = lmax3[2];
+  M.lmaxp1 = lmaxp1; M.pe = pe; M.cthres = cthres;
+  M.logpthres_final_self = std::log(M.pe_thres[TFINAL][SELF]);
+  M.btg = btg; M.erates = erates; M.pe_idx = pe_idx;
+  M.hc_idx = hc_idx; M.n_cap = n_cap;
+
+  int T = threads;
+  int hw = (int)std::thread::hardware_concurrency();
+  if (hw > 0 && T > hw) T = hw;
+  if (T < 1) T = 1;
+  std::atomic<int> next(0);
+
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n_reads) return;
+      CtxOnDemand cd{seqs[i], seq_len[i]};
+      WallWalk W(M, profs[i], prof_len[i], cd, g_ws);
+      int N = W.run(out + (int64_t)i * slot, slot);
+      if (N < 0) { n_out[i] = -1; n_rel[i] = 0; continue; }
+      n_rel[i] = W.find_rel(out + (int64_t)i * slot, N);
+      n_out[i] = N;
+    }
+  };
+  if (T == 1) { worker(); return; }
+  std::vector<std::thread> ts;
+  for (int t = 0; t < T; t++) ts.emplace_back(worker);
+  for (auto& th : ts) th.join();
+}
+
 // Pack the reliable intervals of a wall-stage slab into the rel-only
 // device transfer blobs (layout: classpro_tpu/tpu/device_pipeline.py
 // rel_only_dev docstring).  Row j enumerates reads with n_rel > 0 in
