@@ -245,7 +245,7 @@ class NativeWall:
                         threads: int = 0, slot: int = 1024):
         """Multithreaded wall stage returning the raw slotted slab
         (read i's records at rows [i*slot, i*slot+n_out[i])) for zero-copy
-        consumption by `unrel_batch`/`expand_batch`.  Returns
+        consumption by `pack_rel`/`finish_batch`.  Returns
         (slab structured array, n_out, n_rel, slot); retries the whole
         batch with a larger slot on overflow (rare)."""
         import os as _os
@@ -285,37 +285,6 @@ class NativeWall:
             if (n_out >= 0).all():
                 return out, n_out, n_rel, slot
             slot *= 4
-
-    def unrel_batch(self, slab: np.ndarray, slot: int, n_out: np.ndarray,
-                    asgn: np.ndarray, threads: int = 0) -> None:
-        """Two relaxation sweeps per read, in place on `asgn`
-        ((n, slot) int8: reliable-DP result at reliable intervals,
-        4 = unclassified elsewhere).  Skellam terms come from the same
-        interpolation tables the device kernels use."""
-        import os as _os
-
-        gm = self.gm
-        d = gm.defaults
-        if threads <= 0:
-            threads = min(_os.cpu_count() or 1, 16)
-        if not hasattr(self, "_sk"):
-            from classpro_tpu.tpu.skellam_dev import build_skellam_tables
-            from classpro_tpu.tpu.tables import build_tables
-
-            st = build_skellam_tables()
-            dt = build_tables(gm)
-            self._sk = (np.ascontiguousarray(st.table_a),
-                        np.ascontiguousarray(st.table_b),
-                        np.ascontiguousarray(dt.btg_log()[dt.unrel_idx]),
-                        dt.n_cap)
-        self.lib.cp_unrel_batch(
-            int(gm.cov[0]), int(gm.cov[1]), int(gm.cov[2]), int(gm.cov[3]),
-            float(gm.dr_ratio), gm.read_len, d.r_logp, d.e_po_base,
-            d.pe_mean,
-            self._sk[0].ctypes.data, self._sk[1].ctypes.data,
-            self._sk[2].ctypes.data, self._sk[3], len(n_out),
-            slab.ctypes.data_as(ctypes.c_void_p), slot,
-            n_out.ctypes.data, asgn.ctypes.data, threads)
 
     def pack_rel(self, slab: np.ndarray, slot: int, n_out: np.ndarray,
                  n_rel: np.ndarray, plens: np.ndarray, R: int,
@@ -365,21 +334,4 @@ class NativeWall:
             len(n_out), slab.ctypes.data_as(ctypes.c_void_p), slot,
             n_out.ctypes.data, n_rel.ctypes.data, rel_ptr, max_m,
             gm.kmer, out_off.ctypes.data, buf.ctypes.data, threads)
-        return buf
-
-    def expand_batch(self, slab: np.ndarray, slot: int, n_out: np.ndarray,
-                     asgn: np.ndarray, out_off: np.ndarray,
-                     threads: int = 0) -> np.ndarray:
-        """Per-interval assignments -> class characters.  out_off is the
-        (n+1,) int64 byte offset of each read's class line (length K-1 +
-        plen); returns the filled uint8 buffer."""
-        import os as _os
-
-        if threads <= 0:
-            threads = min(_os.cpu_count() or 1, 16)
-        buf = np.empty(int(out_off[-1]), np.uint8)
-        self.lib.cp_expand_batch(
-            len(n_out), slab.ctypes.data_as(ctypes.c_void_p), slot,
-            n_out.ctypes.data, asgn.ctypes.data, self.gm.kmer,
-            out_off.ctypes.data, buf.ctypes.data, threads)
         return buf

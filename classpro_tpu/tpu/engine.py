@@ -222,48 +222,6 @@ def pack_chunk(rows, ivs, nrels, plens):
     return fblob, iblob, (Bn, max_n, 2 * R, max_m), meta
 
 
-def pack_rel_slab(slab, slot, n_out, n_rel, plens):
-    """Pack a wall-stage slab's RELIABLE intervals into the rel-only
-    transfer blobs (layout: rel_only_dev docstring).  Both directions and
-    log-factorials are derived on device.  Returns (fblob, iblob, R,
-    max_m, scatter meta) or None when no read has a reliable interval."""
-    n = len(n_out)
-    iv = slab.reshape(n, slot)
-    sel = np.nonzero(n_rel > 0)[0]
-    if len(sel) == 0:
-        return None
-    max_n = int(n_out.max())
-    sub = iv[sel, :max_n]
-    live = np.arange(max_n)[None, :] < n_out[sel][:, None]
-    relm = (sub["is_rel"] != 0) & live
-    jj, cc = np.nonzero(relm)
-    counts = n_rel[sel]
-    R = _bucket(len(sel))
-    max_m = _bucket32(int(counts.max()))
-    start = np.zeros(len(sel) + 1, np.int64)
-    np.cumsum(counts, out=start[1:])
-    within = np.arange(len(jj)) - start[jj]
-
-    rb_b = np.zeros((R, max_m), np.int32)
-    rb_e = np.ones((R, max_m), np.int32)
-    rb_ccb = np.ones((R, max_m), np.int32)
-    rb_cce = np.ones((R, max_m), np.int32)
-    rb_pe = np.full((R, max_m), NEG_INF)
-    rb_b[jj, within] = sub["b"][jj, cc]
-    rb_e[jj, within] = sub["e"][jj, cc]
-    rb_ccb[jj, within] = sub["ccb"][jj, cc]
-    rb_cce[jj, within] = sub["cce"][jj, cc]
-    rb_pe[jj, within] = sub["pe"][jj, cc]
-    m = np.ones(R, np.int32)
-    m[: len(sel)] = counts
-    plen = np.ones(R, np.int32)
-    plen[: len(sel)] = plens[sel]
-
-    iblob = np.concatenate([rb_b.ravel(), rb_e.ravel(), rb_ccb.ravel(),
-                            rb_cce.ravel(), m, plen]).astype(np.int32)
-    return rb_pe.ravel(), iblob, R, max_m, (sel, jj, cc, within)
-
-
 class TpuEngine:
     def __init__(self, gm: GlobalModel, batch_size: int = 512):
         self.gm = gm
@@ -292,21 +250,9 @@ class TpuEngine:
 
     # ------------------------------------------------------------------
     def classify_chunk(self, seqs: list[str], profiles: list[np.ndarray]) -> list[str]:
-        """Production path: C++ wall stage -> device rel-only DP (one
-        queued program per length group, single combined fetch) -> C++
-        relaxation sweeps + expansion.  Falls back to the all-device
-        pipeline when the native library is unavailable."""
-        res: list[str] = [""] * len(seqs)
-        todo = [i for i in range(len(seqs)) if len(profiles[i]) > 0]
-        if todo:
-            if hasattr(self.wall, "wall_stage_slab"):
-                self._chunk_native(seqs, profiles, todo, res)
-            else:
-                self._chunk_alldev(seqs, profiles, todo, res)
-        for i in range(len(seqs)):
-            if not res[i]:
-                res[i] = "N" * len(seqs[i])
-        return res
+        """Synchronous single-chunk classification (= one submit +
+        finish of the pipelined stream)."""
+        return self._finish(self._submit(seqs, profiles))
 
     # ------------------------------------------------------------------
     # Pipelined streaming path: chunk k+1's host stages (C++ wall walk,
@@ -391,48 +337,6 @@ class TpuEngine:
         return res
 
     # ------------------------------------------------------------------
-    def _chunk_native(self, seqs, profiles, todo, res) -> None:
-        K = self.gm.kmer
-        # profile-length-sorted groups: group k+1's host wall stage
-        # overlaps group k's device DP
-        order = sorted(todo, key=lambda i: len(profiles[i]))
-        ngrp = 2 if len(order) >= 128 else 1
-        cuts = [len(order) * j // ngrp for j in range(ngrp + 1)]
-        pending = []
-        for j in range(ngrp):
-            g = order[cuts[j]: cuts[j + 1]]
-            if not g:
-                continue
-            slab, n_out, n_rel, slot = self.wall.wall_stage_slab(
-                [seqs[i].encode("ascii") for i in g],
-                [profiles[i] for i in g])
-            plens = np.array([len(profiles[i]) for i in g], np.int64)
-            pk = pack_rel_slab(slab, slot, n_out, n_rel, plens)
-            out = meta = None
-            if pk is not None:
-                fb, ib, R, max_m, meta = pk
-                out = self._rel_exec(R, max_m)(fb, ib)
-            pending.append((g, slab, n_out, slot, out, meta))
-        outs = [p[4] for p in pending if p[4] is not None]
-        out_all = _fetch_flat(outs) if outs else None
-        off = 0
-        for g, slab, n_out, slot, out, meta in pending:
-            n = len(g)
-            asgn = np.full((n, slot), N_STATE, np.int8)
-            if out is not None:
-                cnt = int(np.prod(out.shape))
-                rel_out = out_all[off: off + cnt].reshape(out.shape)
-                off += cnt
-                sel, jj, cc, within = meta
-                asgn[sel[jj], cc] = rel_out[jj, within]
-            self.wall.unrel_batch(slab, slot, n_out, asgn)
-            out_off = np.zeros(n + 1, np.int64)
-            out_off[1:] = np.cumsum([len(seqs[i]) for i in g])
-            buf = self.wall.expand_batch(slab, slot, n_out, asgn, out_off)
-            bts = buf.tobytes()
-            for r, i in enumerate(g):
-                res[i] = bts[out_off[r]: out_off[r + 1]].decode("ascii")
-
     # ------------------------------------------------------------------
     def _chunk_alldev(self, seqs, profiles, todo, res) -> None:
         """All-device fallback (no native library): wall stage via the
