@@ -123,7 +123,7 @@ def cmd_classify(args: argparse.Namespace) -> int:
 
         recs = classify_file_tpu(args.source, fk_root, coverage=args.coverage,
                                  read_len=args.read_len, model_path=args.model,
-                                 verbose=args.verbose)
+                                 threads=args.threads, verbose=args.verbose)
     if args.seeds:
         from classpro_tpu.io.fastk import open_profiles
         from classpro_tpu.seeds import Workspace, find_seeds

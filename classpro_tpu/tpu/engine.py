@@ -223,9 +223,11 @@ def pack_chunk(rows, ivs, nrels, plens):
 
 
 class TpuEngine:
-    def __init__(self, gm: GlobalModel, batch_size: int = 512):
+    def __init__(self, gm: GlobalModel, batch_size: int = 512,
+                 threads: int = 0):
         self.gm = gm
         self.batch_size = batch_size
+        self.threads = threads      # host-side C++ worker count (-T)
         self.wall = make_wall_stage(gm)
         self.pp = build_pipeline_params(gm)
         self._exec_cache: dict = {}
@@ -287,7 +289,7 @@ class TpuEngine:
         g = sorted(todo, key=lambda i: len(profiles[i]))
         slab, n_out, n_rel, slot = self.wall.wall_stage_slab(
             [seqs[i].encode("ascii") for i in g],
-            [profiles[i] for i in g])
+            [profiles[i] for i in g], threads=self.threads)
         st.update(g=g, slab=slab, n_out=n_out, n_rel=n_rel, slot=slot,
                   max_m=0)
         sel_n = int((n_rel > 0).sum())
@@ -325,7 +327,8 @@ class TpuEngine:
             out_off = np.zeros(n + 1, np.int64)
             out_off[1:] = np.cumsum([len(seqs[i]) for i in g])
             buf = self.wall.finish_batch(slab, slot, n_out, n_rel,
-                                         rel_out, st["max_m"], out_off)
+                                         rel_out, st["max_m"], out_off,
+                                         threads=self.threads)
             bts = buf.tobytes()
             for r, i in enumerate(g):
                 res[i] = bts[out_off[r]: out_off[r + 1]].decode("ascii")
@@ -406,13 +409,13 @@ class TpuEngine:
 
 def classify_file_tpu(fastx_path: str, fastk_root: str, coverage: int = 0,
                       read_len: int = 20000, model_path: str | None = None,
-                      batch_size: int = 512,
+                      batch_size: int = 512, threads: int = 0,
                       verbose: bool = False) -> Iterator[ClassRecord]:
     hist = load_histogram(fastk_root)
     gm = build_global_model(hist, coverage=coverage, read_len=read_len,
                             model_path=model_path)
     P = open_profiles(fastk_root)
-    eng = TpuEngine(gm, batch_size=batch_size)
+    eng = TpuEngine(gm, batch_size=batch_size, threads=threads)
 
     recs: list = []
 
