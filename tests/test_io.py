@@ -61,3 +61,23 @@ def test_golden_class_readable():
         assert recs[0].classes[:39] == "N" * 39
     finally:
         tmp.unlink()
+
+
+def test_fastq_input_equals_fasta(tmp_path):
+    """FASTQ input produces the same classifications as FASTA
+    (kseq-equivalent parsing, ClassPro.c FASTX mode)."""
+    import gzip
+
+    from classpro_tpu.io.fastx import read_fastx
+
+    fa = FIX / "tiny" / "reads.fasta.gz"
+    recs = list(read_fastx(str(fa)))[:40]
+    fq = tmp_path / "reads.fastq"
+    with open(fq, "w") as f:
+        for r in recs:
+            f.write(f"@{r.name} {r.comment}".rstrip() + "\n"
+                    + r.seq + "\n+\n" + "I" * len(r.seq) + "\n")
+    back = list(read_fastx(str(fq)))
+    assert len(back) == 40
+    for a, b in zip(recs, back):
+        assert (a.name, a.seq) == (b.name, b.seq)
