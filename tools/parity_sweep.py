@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Byte-identity sweep vs the reference binary across dataset regimes.
+
+For each (coverage, genome length, seed) configuration: simulate a
+dataset, run the compiled reference ClassPro (see
+.claude/skills/verify/SKILL.md for the /tmp/refbuild recipe) and our
+classifier, and byte-compare the `.class` outputs.
+
+Round-1 result (2026-08-16, tunneled TPU v5e):
+  cov=15 glen=31000 seed=5 : IDENTICAL (47 reads)
+  cov=60 glen=45000 seed=9 : IDENTICAL (266 reads)
+  cov=40 glen=80000 seed=13: IDENTICAL (322 reads)
+  cov=25 glen=35000 seed=21: IDENTICAL (92 reads)
+
+Usage: python3 tools/parity_sweep.py [refbinary] (default /tmp/refbuild/ClassPro)
+"""
+
+from __future__ import annotations
+
+import filecmp
+import subprocess
+import sys
+import tempfile
+
+CONFIGS = [
+    (15, 31_000, 5),
+    (60, 45_000, 9),
+    (40, 80_000, 13),
+    (25, 35_000, 21),
+]
+
+
+def main() -> int:
+    ref = sys.argv[1] if len(sys.argv) > 1 else "/tmp/refbuild/ClassPro"
+    rc = 0
+    for cov, glen, seed in CONFIGS:
+        with tempfile.TemporaryDirectory() as d:
+            subprocess.run(
+                [sys.executable, "-m", "classpro_tpu.cli", "simulate", d,
+                 "--genome-len", str(glen), "--coverage", str(cov),
+                 "--seed", str(seed)],
+                check=True, capture_output=True)
+            subprocess.run([ref, "-T1", f"-P{d}", "reads.fasta"],
+                           cwd=d, check=True, capture_output=True)
+            subprocess.run(
+                [sys.executable, "-m", "classpro_tpu.cli", "classify",
+                 f"{d}/reads.fasta", "-o", f"{d}/ours.class"],
+                check=True, capture_output=True)
+            same = filecmp.cmp(f"{d}/reads.class", f"{d}/ours.class",
+                               shallow=False)
+            print(f"cov={cov} glen={glen} seed={seed}: "
+                  + ("IDENTICAL" if same else "*** DIFFERS ***"))
+            rc |= 0 if same else 1
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
