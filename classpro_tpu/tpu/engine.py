@@ -32,6 +32,14 @@ import jax
 
 jax.config.update("jax_enable_x64", True)  # f64 decision path (ARCHITECTURE.md)
 
+# NOTE on compilation: each (R, max_m) shape bucket compiles once per
+# process (~30-40s on this platform's remote-compile path; the coarse
+# _bucket_m ladder keeps the count low).  The persistent XLA
+# compilation cache is deliberately NOT enabled: on this platform a
+# cache-deserialized executable's FIRST execution takes ~7 minutes
+# (measured 430s vs 0.1s after an in-process compile) — worse than
+# recompiling.
+
 from classpro_tpu.estimation import GlobalModel, build_global_model
 from classpro_tpu.io.classfile import ClassRecord
 from classpro_tpu.io.fastk import load_histogram, open_profiles
@@ -61,6 +69,23 @@ def _bucket(x: int, lo: int = 8) -> int:
 def _bucket32(x: int) -> int:
     """Round up to a multiple of 32 (scan-length padding granularity)."""
     return max(32, (x + 31) // 32 * 32)
+
+
+_M_LADDER = (32, 64, 96, 128, 192, 256, 384, 512, 768, 1024)
+
+
+def _bucket_m(x: int) -> int:
+    """Coarse interval-count buckets: the dynamic-trip scans make the
+    padding nearly free, while each distinct shape is a separately
+    compiled program (expensive on this platform even with the
+    persistent cache)."""
+    for b in _M_LADDER:
+        if x <= b:
+            return b
+    b = _M_LADDER[-1]
+    while b < x:
+        b *= 2
+    return b
 
 
 class _PyWall:
@@ -244,9 +269,13 @@ class TpuEngine:
 
             fb_s = jax.ShapeDtypeStruct((R * max_m,), jnp.float64)
             ib_s = jax.ShapeDtypeStruct((4 * R * max_m + 2 * R,), jnp.int32)
-            ex = jax.jit(
-                lambda fb, ib: rel_only_dev(fb, ib, self.pp, R, max_m)
-            ).lower(fb_s, ib_s).compile()
+            # PP stays a runtime argument: closing over it would bake
+            # the ~100MB Skellam tables into the HLO as constants (4x
+            # compile time, bloated persistent-cache entries)
+            aot = jax.jit(
+                rel_only_dev, static_argnames=("R", "max_m")
+            ).lower(fb_s, ib_s, self.pp, R=R, max_m=max_m).compile()
+            ex = lambda fb, ib: aot(fb, ib, self.pp)
             self._exec_cache[key] = ex
         return ex
 
@@ -296,7 +325,7 @@ class TpuEngine:
         if sel_n:
             plens = np.array([len(profiles[i]) for i in g], np.int64)
             R = _bucket(sel_n)
-            max_m = _bucket32(int(n_rel.max()))
+            max_m = _bucket_m(int(n_rel.max()))
             fb, ib = self.wall.pack_rel(slab, slot, n_out, n_rel, plens,
                                         R, max_m)
             out = self._rel_exec(R, max_m)(fb, ib)

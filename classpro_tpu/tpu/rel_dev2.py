@@ -506,20 +506,30 @@ def rel_dp_pass2(bpos, bcnt, epos, ecnt, max_cc, lf_bcnt, logpE_all,
         last = jnp.maximum(Ls[s]["m"] - 1, 0)
         cur0 = jnp.argmax(dp_f, axis=1).astype(jnp.int32)
 
-        def tb_body(cur, xs2, last=last):
-            bp_j, j = xs2
-            out_j = cur
+        # dynamic-trip walk j = max(last)..1 (columns past the batch
+        # maximum keep cur0, exactly as the padded steps did)
+        trip = jnp.maximum(jnp.max(last), 0).astype(jnp.int32)
+        buf0 = jnp.broadcast_to(cur0[:, None], (Lb, max_m)).astype(jnp.int32)
+
+        def tb_cond(st):
+            return st[0] < trip
+
+        def tb_step(st, last=last, bps=bps):
+            t, cur, buf = st
+            j = trip - t
+            buf = jax.lax.dynamic_update_slice(
+                buf, cur[:, None], (jnp.int32(0), j))
+            bp_j = jax.lax.dynamic_index_in_dim(bps, j - 1, 1,
+                                                keepdims=False)
             oh = jnp.arange(4)[None, :] == jnp.clip(cur, 0, 3)[:, None]
             prev = jnp.sum(jnp.where(oh, bp_j, 0), axis=1).astype(jnp.int32)
-            newcur = jnp.where(j <= last, prev, cur)
-            return newcur, out_j
+            cur = jnp.where(j <= last, prev, cur)
+            return t + 1, cur, buf
 
-        js = jnp.arange(max_m - 1, 0, -1)
-        bps_rev = jnp.moveaxis(bps, 1, 0)[::-1]
-        state0, tb_outs = jax.lax.scan(tb_body, cur0, (bps_rev, js))
+        _, state0, buf = jax.lax.while_loop(
+            tb_cond, tb_step, (jnp.int32(0), cur0, buf0))
         asgn = jnp.concatenate(
-            [state0[:, None], jnp.moveaxis(tb_outs, 0, 1)[:, ::-1]],
-            axis=1).astype(jnp.int8)
+            [state0[:, None], buf[:, 1:]], axis=1).astype(jnp.int8)
         asgn = jnp.where(rpos, jnp.int8(REPEAT), asgn)
         asgns.append(asgn)
     return jnp.concatenate(asgns, axis=0), jnp.concatenate(dps, axis=0)
