@@ -333,7 +333,10 @@ class TpuEngine:
             box = {}
 
             def fetch():
-                box["v"] = np.ascontiguousarray(np.asarray(out))
+                try:
+                    box["v"] = np.ascontiguousarray(np.asarray(out))
+                except BaseException as e:   # surfaced at _finish
+                    box["err"] = e
 
             th = threading.Thread(target=fetch, daemon=True)
             th.start()
@@ -352,6 +355,8 @@ class TpuEngine:
             rel_out = None
             if "thread" in st:
                 st["thread"].join()
+                if "err" in st["box"]:
+                    raise st["box"]["err"]
                 rel_out = st["box"]["v"]
             out_off = np.zeros(n + 1, np.int64)
             out_off[1:] = np.cumsum([len(seqs[i]) for i in g])
