@@ -242,3 +242,24 @@ def test_long_reads_match_oracle():
         rc = ReadClassifier(gm)
         for i in range(n):
             assert got[i] == rc.classify(seqs[i], profs[i]), f"read {i}"
+
+
+def test_alldev_fallback_matches_native():
+    """The no-compiler fallback (_PyWall + classify_batch_dev, also the
+    mesh path's program) classifies identically to the production
+    path."""
+    from classpro_tpu.estimation import build_global_model
+    from classpro_tpu.io.fastk import load_histogram, open_profiles
+    from classpro_tpu.io.fastx import read_fastx
+    from classpro_tpu.tpu.engine import TpuEngine, _PyWall
+
+    gm = build_global_model(load_histogram(str(FIX / "tiny" / "reads")))
+    P = open_profiles(str(FIX / "tiny" / "reads"))
+    reads = list(read_fastx(str(FIX / "tiny" / "reads.fasta.gz")))[:6]
+    seqs = [r.seq for r in reads]
+    profs = [P.fetch(i) for i in range(6)]
+    want = TpuEngine(gm).classify_chunk(seqs, profs)
+    eng = TpuEngine(gm)
+    eng.wall = _PyWall(gm)          # force the fallback
+    got = eng.classify_chunk(seqs, profs)
+    assert got == want
