@@ -259,9 +259,9 @@ class TpuEngine:
 
     # ------------------------------------------------------------------
     def _rel_exec(self, R: int, max_m: int):
-        """AOT-compiled rel program per (R, max_m) bucket: the pipeline
-        params become executable constants, and each dispatch skips the
-        jit cache/arg-hashing machinery (~3 ms/call on this host)."""
+        """AOT-compiled rel program per (R, max_m) bucket: each
+        dispatch skips the jit cache/arg-hashing machinery (~3 ms/call
+        on this host)."""
         key = (R, max_m)
         ex = self._exec_cache.get(key)
         if ex is None:
@@ -289,8 +289,8 @@ class TpuEngine:
     # Pipelined streaming path: chunk k+1's host stages (C++ wall walk,
     # numpy pack) and chunk k's device DP + result round trip run
     # concurrently — the wall/relaxation ctypes calls and the fetch's
-    # device wait all release the GIL, so a depth-2 software pipeline
-    # with one background fetch thread keeps host and device both busy.
+    # device wait all release the GIL, so a depth-3 software pipeline
+    # with background fetch threads keeps host and device both busy.
     # ------------------------------------------------------------------
     def classify_stream(self, chunks):
         """Yield one list of class strings per (seqs, profiles) chunk,
@@ -373,7 +373,6 @@ class TpuEngine:
                 res[i] = "N" * len(seqs[i])
         return res
 
-    # ------------------------------------------------------------------
     # ------------------------------------------------------------------
     def _chunk_alldev(self, seqs, profiles, todo, res) -> None:
         """All-device fallback (no native library): wall stage via the
