@@ -249,6 +249,10 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("-r", "--read-len", type=int, default=20000,
                    help="average read length (-r)")
     c.add_argument("-M", "--model", help="HIsim error model file (-M)")
+    c.add_argument("-P", "--tmp-dir", default=".",
+                   help="temp directory (-P in the reference; this "
+                        "implementation streams output and creates no "
+                        "temp files — accepted for CLI compatibility)")
     c.add_argument("-T", "--threads", type=int, default=4,
                    help="host-side worker count")
     c.add_argument("--engine", choices=["exact", "tpu"], default="tpu")
