@@ -280,6 +280,17 @@ class TpuEngine:
         return ex
 
     # ------------------------------------------------------------------
+    def warmup(self, shapes=((256, 128), (256, 192))) -> None:
+        """Pre-build and first-execute the rel programs for the given
+        (R, max_m) buckets.  This platform defers the actual TPU build
+        to first execution (CLAUDE.md), so services should warm up
+        before taking traffic."""
+        for R, max_m in shapes:
+            fb = np.full(R * max_m, NEG_INF)
+            ib = np.ones(4 * R * max_m + 2 * R, np.int32)
+            np.asarray(self._rel_exec(R, max_m)(fb, ib))
+
+    # ------------------------------------------------------------------
     def classify_chunk(self, seqs: list[str], profiles: list[np.ndarray]) -> list[str]:
         """Synchronous single-chunk classification (= one submit +
         finish of the pipelined stream)."""
