@@ -263,3 +263,15 @@ def test_alldev_fallback_matches_native():
     eng.wall = _PyWall(gm)          # force the fallback
     got = eng.classify_chunk(seqs, profs)
     assert got == want
+
+
+def test_warmup_smoke():
+    """warmup pre-builds rel programs without error (tiny shapes)."""
+    from classpro_tpu.estimation import build_global_model
+    from classpro_tpu.io.fastk import load_histogram
+    from classpro_tpu.tpu.engine import TpuEngine
+
+    gm = build_global_model(load_histogram(str(FIX / "tiny" / "reads")))
+    eng = TpuEngine(gm)
+    eng.warmup(shapes=((8, 32),))
+    assert (8, 32) in eng._exec_cache
