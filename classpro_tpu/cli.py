@@ -55,13 +55,22 @@ def _classify_db(args) -> int:
         from classpro_tpu.seeds import Workspace, find_seeds
 
         ws = Workspace()
-    bs = 512
-    with open(out, "w") as cf:
-        for lo in range(0, db.nreads, bs):
-            hi = min(lo + bs, db.nreads)
+    bs = 200
+    spans = [(lo, min(lo + bs, db.nreads))
+             for lo in range(0, db.nreads, bs)]
+    cache: dict = {}
+
+    def chunk_iter():
+        for lo, hi in spans:
             seqs = [db.load_read(i) for i in range(lo, hi)]
             profs = [P.fetch(i) for i in range(lo, hi)]
-            classes = eng.classify_chunk(seqs, profs)
+            cache[lo] = (seqs, profs)
+            yield seqs, profs
+
+    stream = eng.classify_stream(chunk_iter())
+    with open(out, "w") as cf:
+        for (lo, hi), classes in zip(spans, stream):
+            seqs, profs = cache.pop(lo)
             for j, i in enumerate(range(lo, hi)):
                 cf.write(f"{db.header(i)}\n{seqs[j]}\n+\n{classes[j]}\n")
                 body = classes[j]
