@@ -43,7 +43,7 @@ def _classify_db(args) -> int:
                             read_len=args.read_len,
                             model_path=args.model)
     P = open_profiles(fk_root)
-    eng = TpuEngine(gm)
+    eng = TpuEngine(gm, threads=args.threads)
     K = gm.kmer
     ctos = np.zeros(256, np.uint8)        # const.c stoc order E,R,H,D
     for code, ch in enumerate(b"ERHD"):
@@ -189,12 +189,13 @@ def cmd_prof2class(args: argparse.Namespace) -> int:
 
 
 def cmd_class2acc(args: argparse.Namespace) -> int:
-    from classpro_tpu.tools.class2acc import class2acc
+    from classpro_tpu.tools.class2acc import main_run
 
-    acc = class2acc(args.estimate, args.truth, thres_e=args.max_e,
-                    thres_r=args.min_r)
-    print(acc.report())
-    return 0
+    return main_run(args.estimate, args.truth, thres_e=args.max_e,
+                    thres_r=args.min_r, thres_lq=args.show_lq,
+                    show_class=args.show_class, min_r=args.lq_min_r,
+                    max_r=args.lq_max_r, window=args.window,
+                    prof_root=args.profile)
 
 
 def cmd_gsthresholds(args: argparse.Namespace) -> int:
@@ -293,8 +294,23 @@ def build_parser() -> argparse.ArgumentParser:
     a = sub.add_parser("class2acc", help="accuracy vs truth .class")
     a.add_argument("estimate")
     a.add_argument("truth")
-    a.add_argument("-f", "--max-e", type=int, default=100)
-    a.add_argument("-r", "--min-r", type=int, default=0)
+    a.add_argument("-f", "--max-e", type=int, default=100,
+                   help="ignore reads with %%E-mer above this (ref -f)")
+    a.add_argument("-r", "--min-r", type=int, default=0,
+                   help="reads with %%R-mer above this are Repeat (ref -r)")
+    a.add_argument("-e", "--show-lq", type=int, default=None,
+                   help="report each read with misclassification rate "
+                        ">= this %% (ref -e)")
+    a.add_argument("-s", "--show-class", action="store_true",
+                   help="with -e: print truth + masked estimate strings")
+    a.add_argument("-m", "--lq-min-r", type=int, default=0,
+                   help="with -e: min %%R-mer of a read to show (ref -m)")
+    a.add_argument("-n", "--lq-max-r", type=int, default=100,
+                   help="with -e: max %%R-mer of a read to show (ref -n)")
+    a.add_argument("-w", "--window", type=int, default=None,
+                   help="with -p: per-window accuracy/coverage (ref -w)")
+    a.add_argument("-p", "--profile", default=None,
+                   help="read profile root for coverage columns (ref -p)")
     a.set_defaults(fn=cmd_class2acc)
 
     gt = sub.add_parser("gs-thresholds",

@@ -192,7 +192,10 @@ def _himodel_pe(path: str, defaults: Defaults) -> tuple[np.ndarray, np.ndarray]:
                     if v > 0.0:
                         s += float(v)
                         cnt += 1
-                y[j - 1] = s / cnt
+                # degenerate model column (no positive rates): the C code
+                # divides 0.0 by 0 and silently propagates NaN into the
+                # polyfit (wall.c:99); reproduce that instead of raising
+                y[j - 1] = s / cnt if cnt else float("nan")
             coef = _quadfit(x, y)  # ascending order
             for l in range(1, lmax[t] + 1):
                 pe[t, l] = coef[0] + coef[1] * l + coef[2] * l * l

@@ -296,6 +296,13 @@ def _select(segs, ws: Workspace, hash_, sasgn, wsize: int, mark: int,
     (seed.c:342-445 / 821-925)."""
     if ws.covers_all(plen):
         return
+    # Python's sorted() is stable; the reference uses glibc qsort with an
+    # nw-only comparator (seed.c:113-115), and glibc qsort is mergesort
+    # (stable) except when its temp allocation fails.  Byte-parity of the
+    # mintvl stale-slot state *within equal-nw tie groups* therefore rests
+    # on that glibc implementation detail — a musl/BSD qsort reference
+    # build could order ties differently and diverge from us (documented
+    # portability assumption; golden.seeds.gz fixtures pin glibc order).
     order = sorted(range(len(segs)), key=lambda i: -segs[i].nw)
 
     def mark_seg(seg):

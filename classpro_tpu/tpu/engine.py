@@ -248,7 +248,9 @@ def pack_chunk(rows, ivs, nrels, plens):
 
 
 class TpuEngine:
-    def __init__(self, gm: GlobalModel, batch_size: int = 512,
+    # batch_size default 200 = the measured-optimal production chunk
+    # (bench.py sweep: 160 worse, 240 noise-equal, 512 slower)
+    def __init__(self, gm: GlobalModel, batch_size: int = 200,
                  threads: int = 0):
         self.gm = gm
         self.batch_size = batch_size
@@ -453,7 +455,7 @@ class TpuEngine:
 
 def classify_file_tpu(fastx_path: str, fastk_root: str, coverage: int = 0,
                       read_len: int = 20000, model_path: str | None = None,
-                      batch_size: int = 512, threads: int = 0,
+                      batch_size: int = 200, threads: int = 0,
                       verbose: bool = False) -> Iterator[ClassRecord]:
     hist = load_histogram(fastk_root)
     gm = build_global_model(hist, coverage=coverage, read_len=read_len,

@@ -55,3 +55,32 @@ def test_class2acc_vs_reference_numbers(tmp_path):
     assert acc.ntot == 892969
     assert acc.ncor == 857290
     assert abs(acc.accuracy - 96.00) < 0.005
+
+
+def test_class2acc_full_flag_goldens(tmp_path):
+    """Full-flag stdout is byte-equal to the reference class2acc binary
+    (goldens produced by /tmp/refbuild/class2acc on the tiny fixture;
+    covers -e/-s/-m/-n/-p/-w/-f/-r, class2acc.c:33-48)."""
+    import io
+
+    from classpro_tpu.tools.class2acc import main_run
+
+    est = tmp_path / "est.class"
+    tru = tmp_path / "tru.class"
+    est.write_bytes(gzip.decompress((FIX / "tiny" / "golden.class.gz").read_bytes()))
+    tru.write_bytes(gzip.decompress((FIX / "tiny" / "reads.truth.class.gz").read_bytes()))
+    for fn in ("reads.prof", ".reads.pidx.1", ".reads.prof.1"):
+        (tmp_path / fn).write_bytes((FIX / "tiny" / fn).read_bytes())
+    prof = str(tmp_path / "reads")
+    cases = {
+        "golden.c2a.e0spw500.txt.gz": dict(thres_lq=0, show_class=True,
+                                           prof_root=prof, window=500),
+        "golden.c2a.e2m20n95p.txt.gz": dict(thres_lq=2, min_r=20, max_r=95,
+                                            prof_root=prof),
+        "golden.c2a.f30r60.txt.gz": dict(thres_e=30, thres_r=60),
+    }
+    for name, kw in cases.items():
+        out = io.StringIO()
+        main_run(str(est), str(tru), out=out, **kw)
+        want = gzip.decompress((FIX / "tiny" / name).read_bytes()).decode()
+        assert out.getvalue() == want, name
