@@ -8,14 +8,22 @@ stream of repeated passes (~12s), as in production streaming use.
 
 Prints ONE JSON line:
   {"metric": "kmers_classified_per_sec", "value": N, "unit": "kmers/s",
-   "vs_baseline": R}
+   "vs_baseline": R, "e2e": N2, "e2e_vs_baseline": R2, "parity_ok": B}
 
 vs_baseline divides by the best measured reference-binary throughput on
 this machine (ClassPro -T1 on the same fixture: 4.24 Mk-mers/s — see
 BASELINE_MEASURED.md; with threads the reference is slower here).
-Correctness context: the engine's output is byte-identical to the
-reference binary's .class on the fixtures (see tests/test_golden_parity
-and tests/test_tpu_engine).
+
+`value` is the steady-state stream rate (inputs pre-decoded — the
+service framing).  `e2e` re-parses the FASTA and re-decodes the FASTK
+profiles inside the timed window (warm process), matching what the
+4.24M baseline's wall clock includes; both are reported per VERDICT
+round 1 ("benchmark honesty").
+
+`parity_ok` is a real-backend parity smoke: the warm engine's output
+for the first 64 reads is compared byte-for-byte against the committed
+reference golden, so backend numeric drift fails loudly in the bench
+record itself (full-coverage equivalents live in tests/).
 """
 
 from __future__ import annotations
@@ -71,11 +79,49 @@ def main() -> None:
         run_stream(reps)
         rates.append(reps * total_kmers / (time.time() - t0))
     value = sorted(rates)[len(rates) // 2]
+
+    # ---- parity smoke on the warm engine/backend (VERDICT r1 item 8) ----
+    import gzip
+
+    golden = gzip.decompress(
+        (fx / "golden.class.gz").read_bytes()).decode().split("\n")
+    got = eng.classify_chunk(seqs[:64], profs[:64])
+    parity_ok = all(golden[4 * i + 3] == got[i] for i in range(64))
+
+    # ---- end-to-end mode: file parse + profile decode inside the timed
+    # window, warm process (VERDICT r1 item 4) --------------------------
+    def run_e2e() -> float:
+        B = eng.batch_size
+        Pe = open_profiles(str(fx / "reads"))
+
+        def chunks():
+            buf_s, buf_p, rid = [], [], 0
+            for rec in read_fastx(str(fx / "reads.fasta.gz")):
+                buf_s.append(rec.seq)
+                buf_p.append(Pe.fetch(rid))
+                rid += 1
+                if len(buf_s) >= B:
+                    yield buf_s, buf_p
+                    buf_s, buf_p = [], []
+            if buf_s:
+                yield buf_s, buf_p
+
+        t0 = time.time()
+        for _ in eng.classify_stream(chunks()):
+            pass
+        return total_kmers / (time.time() - t0)
+
+    e2e_rates = sorted(run_e2e() for _ in range(5))
+    e2e = e2e_rates[len(e2e_rates) // 2]
+
     print(json.dumps({
         "metric": "kmers_classified_per_sec",
         "value": round(value),
         "unit": "kmers/s",
         "vs_baseline": round(value / BASELINE_KMERS_PER_SEC, 3),
+        "e2e": round(e2e),
+        "e2e_vs_baseline": round(e2e / BASELINE_KMERS_PER_SEC, 3),
+        "parity_ok": bool(parity_ok),
     }))
 
 

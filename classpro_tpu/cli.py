@@ -24,6 +24,23 @@ def _root_of(source: str) -> str:
     return source
 
 
+def _seed_finder():
+    """C++ seed selection when the native library is available
+    (csrc cp_find_seeds, ~50x the Python port), else the Python oracle.
+    Returns find(seq, classes_tail, profile, K) -> (labels, rep_intvls);
+    one persistent workspace (reference -T1 stale-slot semantics)."""
+    try:
+        from classpro_tpu.native import NativeSeedWorkspace
+
+        ws = NativeSeedWorkspace()
+        return lambda seq, cls, prof, K: ws.find_seeds(seq, cls, prof, K)
+    except Exception:
+        from classpro_tpu.seeds import Workspace, find_seeds
+
+        ws = Workspace()
+        return lambda seq, cls, prof, K: find_seeds(seq, cls, prof, K, ws)
+
+
 def _classify_db(args) -> int:
     """DAZZ .db/.dam input mode: classify + write the .class file and
     the DAZZ-format .class/.rep tracks (ClassPro.c:289-304, io.c)."""
@@ -52,12 +69,13 @@ def _classify_db(args) -> int:
     tw = TrackWriter(db.root, "class", db.nreads, 8)
     rw = IntPairTrackWriter(db.root, "rep", db.nreads)
     if args.seeds:
-        from classpro_tpu.seeds import Workspace, find_seeds
-
-        ws = Workspace()
+        find_seeds = _seed_finder()
     bs = 200
     spans = [(lo, min(lo + bs, db.nreads))
              for lo in range(0, db.nreads, bs)]
+    # bounded by construction: classify_stream pulls this generator
+    # synchronously and keeps <= 3 chunks in flight, and the consumer
+    # below pops one entry per yielded result — so <= 4 entries live
     cache: dict = {}
 
     def chunk_iter():
@@ -76,7 +94,7 @@ def _classify_db(args) -> int:
                 body = classes[j]
                 if args.seeds and len(profs[j]) > 0:
                     labels, rints = find_seeds(
-                        seqs[j], classes[j][K - 1:], profs[j], K, ws)
+                        seqs[j], classes[j][K - 1:], profs[j], K)
                     body = "N" * (K - 1) + labels
                     rw.add(rints)
                 codes = ctos[np.frombuffer(body.encode(), np.uint8)]
@@ -132,14 +150,14 @@ def cmd_classify(args: argparse.Namespace) -> int:
 
         recs = classify_file_tpu(args.source, fk_root, coverage=args.coverage,
                                  read_len=args.read_len, model_path=args.model,
-                                 threads=args.threads, verbose=args.verbose)
+                                 threads=args.threads, verbose=args.verbose,
+                                 warmup=args.warmup)
     if args.seeds:
         from classpro_tpu.io.fastk import open_profiles
-        from classpro_tpu.seeds import Workspace, find_seeds
 
+        find_seeds = _seed_finder()
         P = open_profiles(fk_root)
         K = P.kmer
-        ws = Workspace()
         seed_path = out + ".seeds"
         rep_path = out + ".rep"
 
@@ -149,7 +167,7 @@ def cmd_classify(args: argparse.Namespace) -> int:
                     prof = P.fetch(rid)
                     if len(prof) > 0:
                         labels, rints = find_seeds(
-                            rec.seq, rec.classes[K - 1:], prof, K, ws)
+                            rec.seq, rec.classes[K - 1:], prof, K)
                         sf.write(rec.header + "\n" + "N" * (K - 1)
                                  + labels + "\n")
                         for b, e in rints:
@@ -160,9 +178,25 @@ def cmd_classify(args: argparse.Namespace) -> int:
                     yield rec
 
         recs = with_seeds(recs)
-    write_class(out, recs)
+    stats = {"kmers": 0, "reads": 0}
+
+    def counted(records):
+        for rec in records:
+            stats["kmers"] += len(rec.classes) - rec.classes.count("N")
+            stats["reads"] += 1
+            yield rec
+
+    import time as _time
+
+    t0 = _time.time()
+    write_class(out, counted(recs))
+    wall = _time.time() - t0
     if args.verbose:
         print(f"wrote {out}", file=sys.stderr)
+        print(f"{stats['reads']} reads, {stats['kmers']} k-mers in "
+              f"{wall:.2f}s = {stats['kmers'] / max(wall, 1e-9) / 1e6:.2f} "
+              f"Mk-mers/s (incl. parse+decode; cold-start compile "
+              f"excluded only via --warmup)", file=sys.stderr)
         print(timer.report(total=True), file=sys.stderr)
     return 0
 
@@ -274,6 +308,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "writes <out>.seeds (per-position labels) and "
                         "<out>.rep (repeat intervals per read)")
     c.add_argument("-v", "--verbose", action="store_true")
+    c.add_argument("--warmup", action="store_true",
+                   help="pre-compile + first-execute the device programs "
+                        "for the dataset's expected shape buckets before "
+                        "streaming (cold-start on this platform defers "
+                        "the real build to first execution; see "
+                        "CLAUDE.md/engine.py notes)")
     c.set_defaults(fn=cmd_classify)
 
     g = sub.add_parser("classgs", help="global-threshold classification")

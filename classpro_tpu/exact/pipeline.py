@@ -17,7 +17,7 @@ from classpro_tpu.estimation import GlobalModel, build_global_model
 from classpro_tpu.exact.rel import RelClassifier
 from classpro_tpu.exact.unrel import UnrelClassifier
 from classpro_tpu.exact.wall import WallFinder
-from classpro_tpu.io.classfile import ClassRecord
+from classpro_tpu.io.classfile import ClassRecord, class_header
 from classpro_tpu.io.fastk import load_histogram, open_profiles
 from classpro_tpu.io.fastx import read_fastx
 
@@ -66,5 +66,5 @@ def classify_file(fastx_path: str, fastk_root: str, coverage: int = 0,
     for rid, rec in enumerate(read_fastx(fastx_path)):
         profile = P.fetch(rid)
         classes = clf.classify(rec.seq, profile)
-        header = f"@{rec.name} {rec.comment}"
+        header = class_header(rec.name, rec.comment)
         yield ClassRecord(header, rec.seq, classes)

@@ -12,6 +12,9 @@ speed — the batched engine replaces this with an O(M) scan).
 
 from __future__ import annotations
 
+# opt-in decision-margin recorder (see exact/unrel.py MARGINS)
+MARGINS: list | None = None
+
 import math
 
 import numpy as np
@@ -156,20 +159,30 @@ class RelClassifier:
 
     def _find_max_dp(self, i: int) -> int:
         max_logp, max_s = NEG_INF, N_STATE
+        runner = NEG_INF
         for s in range(4):
             if max_logp < self.dp[i, s]:
-                max_logp, max_s = self.dp[i, s], s
+                max_logp, runner, max_s = self.dp[i, s], max_logp, s
+            elif runner < self.dp[i, s]:
+                runner = self.dp[i, s]
+        if MARGINS is not None and runner > NEG_INF and max_logp > NEG_INF:
+            MARGINS.append(max_logp - runner)
         return max_s
 
     def _find_max_dp_tr(self, logp_tr, i: int, s: int, t: int) -> tuple[int, float]:
         i_pred = self._pred(i)
         max_logp, max_x = NEG_INF, N_STATE
+        runner = NEG_INF
         for x in range(4):
             _s = s if s < N_STATE else x
             _t = t if t < N_STATE else x
             logp = self.dp[i_pred, _s] + logp_tr[_s][_t]
             if max_logp < logp:
-                max_logp, max_x = logp, x
+                max_logp, runner, max_x = logp, max_logp, x
+            elif runner < logp:
+                runner = logp
+        if MARGINS is not None and runner > NEG_INF and max_logp > NEG_INF:
+            MARGINS.append(max_logp - runner)
         return max_x, max_logp
 
     def _update(self, i: int, M: int) -> None:

@@ -8,6 +8,12 @@ already-classified reliable intervals.
 
 from __future__ import annotations
 
+# opt-in decision-margin recorder (tools/margin_sweep.py): when set to a
+# list, every relaxation argmax appends |best - runner_up| log-prob
+# margin (finite pairs only) — quantifies headroom vs the ~1e-7
+# interpolated-table error of the production path (VERDICT r1 item 7)
+MARGINS: list | None = None
+
 import math
 
 from classpro_tpu.constants import State
@@ -143,10 +149,15 @@ class UnrelClassifier:
             intvl[idx].asgn = REPEAT
             return
         logpmax, smax = NEG_INF, -1
+        runner = NEG_INF
         for s in range(4):
             logp = self._calc_logp_u(s, idx, intvl, N)
             if logpmax < logp:
-                logpmax, smax = logp, s
+                logpmax, runner, smax = logp, logpmax, s
+            elif runner < logp:
+                runner = logp
+        if MARGINS is not None and runner > NEG_INF:
+            MARGINS.append(logpmax - runner)
         if smax == -1:
             raise RuntimeError(f"No valid probability for interval {idx}")
         if I.asgn != smax:

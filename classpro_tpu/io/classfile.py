@@ -19,6 +19,14 @@ class ClassRecord(NamedTuple):
     classes: str
 
 
+def class_header(name: str, comment: str | None) -> str:
+    """Header line as the reference binary prints it (ClassPro.c:289):
+    ``fprintf("@%s %s\\n", name, comment)`` where kseq leaves comment NULL
+    for headers without one — glibc renders that as the literal string
+    ``(null)``.  Reproduced for byte identity."""
+    return f"@{name} {comment if comment else '(null)'}"
+
+
 def write_class(path: str, records: Sequence[ClassRecord] | Iterator[ClassRecord]) -> None:
     with open(path, "w") as f:
         for r in records:

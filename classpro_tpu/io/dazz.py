@@ -51,7 +51,10 @@ class DazzRead:
 
 
 class DazzDB:
-    """Read access to a .db/.dam (Open_DB + Load_Read equivalents)."""
+    """Read access to a .db/.dam (Open_DB + Load_Read + Trim_DB
+    equivalents), including block-addressed opens: ``root.N[.db]``
+    opens block N of a DBsplit database (Open_DB's part parse,
+    DB.c:716-725, and the stub's DB_BDATA block table, DB.h:435-437)."""
 
     def __init__(self, path: str):
         if path.endswith(".dam"):
@@ -67,36 +70,119 @@ class DazzDB:
                     root = path
                     break
             else:
-                raise FileNotFoundError(f"{path}(.db|.dam)")
+                # maybe a block-addressed name root.N without extension
+                base, dot, tail = path.rpartition(".")
+                if dot and tail.isdigit():
+                    for ext, dam in ((".dam", True), (".db", False)):
+                        if os.path.exists(base + ext):
+                            self.is_dam = dam
+                            root = path
+                            break
+                    else:
+                        raise FileNotFoundError(f"{path}(.db|.dam)")
+                else:
+                    raise FileNotFoundError(f"{path}(.db|.dam)")
+        # trailing .N (numeric, nonzero) selects a block (DB.c:716-725)
+        self.part = 0
+        base, dot, tail = root.rpartition(".")
+        if dot and tail.isdigit() and int(tail) != 0:
+            self.part = int(tail)
+            root = base
         self.root = root
         pwd, base = os.path.split(root)
         stub = root + (".dam" if self.is_dam else ".db")
 
+        self.nblocks = 0
+        self.cutoff = 0
+        self.allarr = 1  # DB_ALL when unpartitioned (DB.c:777-779)
+        ublocks: list[int] = []
+        tblocks: list[int] = []
         with open(stub) as f:
             nfiles = int(f.readline().split("=")[1])
             self.files = []
             for _ in range(nfiles):
                 last, fname, prolog = f.readline().split()
                 self.files.append((int(last), fname, prolog))
+            line = f.readline()
+            if line.startswith("blocks"):
+                self.nblocks = int(line.split("=")[1])
+                params = f.readline().replace("=", " ").split()
+                # size = S cutoff = C all = A
+                self.block_size = int(params[1])
+                self.cutoff = int(params[3])
+                self.allarr = int(params[5])
+                for _ in range(self.nblocks + 1):
+                    u, t = f.readline().split()
+                    ublocks.append(int(u))
+                    tblocks.append(int(t))
+            elif self.part > 0:
+                raise ValueError(
+                    f"{stub}: not partitioned, cannot open block "
+                    f"{self.part}")
+        if self.part > self.nblocks and self.part > 0:
+            raise ValueError(f"{stub}: has only {self.nblocks} blocks")
 
         hidden = os.path.join(pwd, "." + base)
         with open(hidden + ".idx", "rb") as f:
             hdr = f.read(112)
-            (self.ureads, self.treads, self.cutoff, self.allarr) = \
+            (self.ureads, self.treads, _idx_cutoff, _idx_all) = \
                 struct.unpack_from("<4i", hdr, 0)
             self.freq = struct.unpack_from("<4f", hdr, 16)
             self.maxlen, = struct.unpack_from("<i", hdr, 32)
             self.totlen, = struct.unpack_from("<q", hdr, 40)
+            if self.part > 0:
+                self.ufirst = ublocks[self.part - 1]
+                self.tfirst = tblocks[self.part - 1]
+                ulast = ublocks[self.part]
+            else:
+                self.ufirst = self.tfirst = 0
+                ulast = self.ureads
+            f.seek(112 + _READ_STRUCT.size * self.ufirst)
+            nr = ulast - self.ufirst
             self.reads: list[DazzRead] = []
-            raw = f.read(_READ_STRUCT.size * self.ureads)
-            for i in range(self.ureads):
+            raw = f.read(_READ_STRUCT.size * nr)
+            for i in range(nr):
                 o, rl, fp, boff, coff, fl = _READ_STRUCT.unpack_from(
                     raw, i * _READ_STRUCT.size)
                 self.reads.append(DazzRead(o, rl, fp, boff, coff, fl))
-        self.nreads = self.ureads
+        self.nreads = len(self.reads)
+        if self.part > 0:
+            # a block open recomputes totlen/maxlen over its range
+            self.totlen = sum(r.rlen for r in self.reads)
+            self.maxlen = max((r.rlen for r in self.reads), default=0)
+        self.trimmed = False
         self._bps = open(hidden + ".bps", "rb")
         self._hdr = open(hidden + ".hdr", "rb") if (
             self.is_dam and os.path.exists(hidden + ".hdr")) else None
+
+    def trim(self) -> None:
+        """Trim_DB (DB.c:908-1043): drop reads below the cutoff and,
+        unless `all`, non-best subreads; recompute totals.  Tracks must
+        be read AFTER trimming (the reference loads them post-trim)."""
+        DB_ALL, DB_BEST, DB_CCS = 0x1, 0x0800, 0x0400
+        if self.trimmed:
+            return
+        self.trimmed = True
+        if self.cutoff <= 0 and (self.allarr & DB_ALL) != 0:
+            return
+        allflag = 0 if (self.allarr & DB_ALL) != 0 else DB_BEST
+        kept = []
+        css = 0
+        for r in self.reads:
+            if (r.flags & DB_CCS) == 0:
+                css = 0
+            if (r.flags & DB_BEST) >= allflag and r.rlen >= self.cutoff:
+                r = dataclasses.replace(r)
+                if css:
+                    r.flags |= DB_CCS
+                else:
+                    r.flags &= ~DB_CCS
+                css = 1
+                kept.append(r)
+        self.reads = kept
+        self.nreads = len(kept)
+        self.totlen = sum(r.rlen for r in kept)
+        self.maxlen = max((r.rlen for r in kept), default=0)
 
     def load_read(self, i: int) -> str:
         """Sequence of read i as uppercase ACGT (Load_Read(...,2) —
@@ -119,8 +205,9 @@ class DazzDB:
             self._hdr.seek(r.coff)
             line = self._hdr.readline().decode().rstrip("\n")
             return "@" + line[1:]
+        gi = i + self.ufirst      # file table is in global read indices
         m = 0
-        while i >= self.files[m][0]:
+        while gi >= self.files[m][0]:
             m += 1
         return (f"@{self.files[m][2]}/{r.origin}/"
                 f"{r.fpulse}_{r.fpulse + r.rlen}")
@@ -152,10 +239,44 @@ def compress_codes(codes: np.ndarray) -> bytes:
             | s[3::4]).tobytes()
 
 
-def write_dam(root: str, records) -> int:
+
+def _stub_blocks(reads, nblocks: int, cutoff: int, all_: int):
+    """DBsplit-style block table: contiguous blocks of roughly equal
+    untrimmed read counts; returns [(ufirst, tfirst)] * (nblocks+1)
+    (DB_BDATA lines, DB.h:437).  The trimmed index counts reads passing
+    the (cutoff, all) filter, mirroring Trim_DB's predicate."""
+    DB_BEST = 0x0800
+    allflag = 0 if all_ else DB_BEST
+    n = len(reads)
+    t_prefix = [0]
+    for r in reads:
+        ok = (r.flags & DB_BEST) >= allflag and r.rlen >= cutoff
+        t_prefix.append(t_prefix[-1] + (1 if ok else 0))
+    out = []
+    for b in range(nblocks + 1):
+        u = n * b // nblocks
+        out.append((u, t_prefix[u]))
+    return out
+
+
+def _write_stub(path: str, base: str, prolog: str, reads,
+                nblocks: int, cutoff: int, all_: int) -> None:
+    n = len(reads)
+    with open(path, "w") as f:
+        f.write(f"files = {1:9d}\n")
+        f.write(f"  {n:9d} {base} {prolog}\n")
+        f.write(f"blocks = {nblocks:9d}\n")
+        f.write(f"size = {200000000:11d} cutoff = {cutoff:9d} "
+                f"all = {all_:1d}\n")
+        for u, t in _stub_blocks(reads, nblocks, cutoff, all_):
+            f.write(f" {u:9d} {t:9d}\n")
+
+def write_dam(root: str, records, nblocks: int = 1,
+              cutoff: int = 0, all_: int = 1) -> int:
     """Create <root>.dam (+ hidden .idx/.bps/.hdr) from (header, seq)
     pairs — fasta2DAM-equivalent for N-free sequences, one contig per
-    record.  Returns the number of reads."""
+    record; nblocks > 1 emits a DBsplit-style block table and
+    cutoff/all_ set the Trim_DB parameters.  Returns the read count."""
     pwd, base = os.path.split(root)
     hidden = os.path.join(pwd, "." + base) if pwd else "." + base
     reads = []
@@ -189,17 +310,12 @@ def write_dam(root: str, records) -> int:
         for r in reads:
             idx.write(_READ_STRUCT.pack(r.origin, r.rlen, r.fpulse,
                                         r.boff, r.coff, r.flags))
-    with open(root + ".dam", "w") as f:
-        f.write(f"files = {1:9d}\n")
-        f.write(f"  {n:9d} {base} {base}\n")
-        f.write(f"blocks = {1:9d}\n")
-        f.write(f"size = {200:11d} cutoff = {0:9d} all = {1:1d}\n")
-        f.write(f" {0:9d} {0:9d}\n")
-        f.write(f" {n:9d} {n:9d}\n")
+    _write_stub(root + ".dam", base, base, reads, nblocks, cutoff, all_)
     return n
 
 
-def write_db(root: str, records) -> int:
+def write_db(root: str, records, nblocks: int = 1,
+             cutoff: int = 0, all_: int = 1) -> int:
     """Create <root>.db (+ hidden .idx/.bps) from (header, seq) pairs —
     fasta2DB-equivalent for N-free reads.  Headers of the PacBio form
     'movie/well/beg_end' populate origin/fpulse so DazzDB.header (and
@@ -242,13 +358,7 @@ def write_db(root: str, records) -> int:
         for r in reads:
             idx.write(_READ_STRUCT.pack(r.origin, r.rlen, r.fpulse,
                                         r.boff, r.coff, r.flags))
-    with open(root + ".db", "w") as f:
-        f.write(f"files = {1:9d}\n")
-        f.write(f"  {n:9d} {base} {prolog}\n")
-        f.write(f"blocks = {1:9d}\n")
-        f.write(f"size = {200:11d} cutoff = {0:9d} all = {1:1d}\n")
-        f.write(f" {0:9d} {0:9d}\n")
-        f.write(f" {n:9d} {n:9d}\n")
+    _write_stub(root + ".db", base, prolog, reads, nblocks, cutoff, all_)
     return n
 
 

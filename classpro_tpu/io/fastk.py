@@ -264,10 +264,12 @@ class ProfileIndex:
         self._part_data: dict[int, np.ndarray] = {}
 
     def _part_of(self, rid: int) -> int:
-        for w, nb in enumerate(self.nbase):
-            if rid < nb:
-                return w
-        raise IndexError(f"read id {rid} out of range [0,{self.nreads})")
+        if rid < 0 or rid >= self.nreads:
+            raise IndexError(f"read id {rid} out of range [0,{self.nreads})")
+        # nbase is cumulative read counts per part: binary search
+        import bisect
+
+        return bisect.bisect_right(self.nbase, rid)
 
     def _data(self, part: int) -> np.ndarray:
         if part not in self._part_data:

@@ -97,6 +97,7 @@ def run_process(source: str, fastk_root: str | None, out: str | None,
                                    num_processes=nproc, process_id=pid)
 
     from classpro_tpu.estimation import build_global_model
+    from classpro_tpu.io.classfile import class_header
     from classpro_tpu.io.fastk import load_histogram, open_profiles
     from classpro_tpu.io.fastx import read_fastx
     from classpro_tpu.tpu.engine import TpuEngine
@@ -143,7 +144,8 @@ def run_process(source: str, fastk_root: str | None, out: str | None,
         for classes in eng.classify_stream(chunks()):
             chunk_recs = recs.pop(0)
             for rec, cls in zip(chunk_recs, classes):
-                f.write(f"@{rec.name} {rec.comment}\n{rec.seq}\n+\n{cls}\n")
+                f.write(f"{class_header(rec.name, rec.comment)}\n"
+                        f"{rec.seq}\n+\n{cls}\n")
     if verbose:
         print(f"[{pid}/{nproc}] wrote {shard} (reads {beg}..{end})",
               file=sys.stderr)

@@ -31,23 +31,50 @@ def shard_batch(mesh: Mesh, *arrays):
     return out if len(out) > 1 else out[0]
 
 
-def psum_histogram(mesh: Mesh, local_hist: np.ndarray) -> jnp.ndarray:
-    """All-reduce per-host/per-shard partial k-mer count histograms.
+def psum_histogram(mesh: Mesh, local_hist: np.ndarray) -> np.ndarray:
+    """All-reduce per-host partial k-mer count histograms.
 
     Replaces the reference's single-threaded global histogram load
     (process_global_hist, hist.c:28-143) for the distributed setting:
     every host counts its shard of reads, then one psum makes the global
-    histogram identical everywhere."""
-    from jax.experimental.shard_map import shard_map
+    histogram identical everywhere.
 
+    Multi-process-safe: each process materializes ONLY its addressable
+    shards of the (n_devices, H) input (jax.make_array_from_callback);
+    the host partial rides on the process's first device row, its other
+    rows are zero, so the psum over the dp axis is exactly the sum over
+    hosts.  The result is returned fully replicated and fetched as a
+    host numpy array."""
+    local_hist = np.asarray(local_hist)
     n = mesh.devices.size
-    stacked = jnp.asarray(np.broadcast_to(local_hist, (n,) + local_hist.shape))
+    pidx = jax.process_index()
+    my_rows = [i for i, d in enumerate(mesh.devices.flat)
+               if d.process_index == pidx]
+    first_row = min(my_rows) if my_rows else -1
+    in_sharding = NamedSharding(mesh, P("dp", *([None] * local_hist.ndim)))
+
+    def _shard(index):
+        row = index[0].start or 0
+        if row == first_row:
+            return local_hist[None].astype(np.int64)
+        return np.zeros((1,) + local_hist.shape, np.int64)
+
+    arr = jax.make_array_from_callback((n,) + local_hist.shape,
+                                       in_sharding, _shard)
+
+    try:
+        from jax.shard_map import shard_map          # jax >= 0.5
+    except ImportError:                              # DeprecationWarning path
+        from jax.experimental.shard_map import shard_map
 
     def _sum(h):
-        return jax.lax.psum(h, axis_name="dp")
+        return jax.lax.psum(h[0], axis_name="dp")
 
-    f = shard_map(_sum, mesh=mesh, in_specs=P("dp", None), out_specs=P("dp", None))
-    return f(stacked)[0]
+    f = jax.jit(shard_map(
+        _sum, mesh=mesh,
+        in_specs=P("dp", *([None] * local_hist.ndim)),
+        out_specs=P(*([None] * local_hist.ndim))))
+    return np.asarray(jax.device_get(f(arr)))
 
 
 def sharded_classify(mesh: Mesh, fblobs: np.ndarray, iblobs: np.ndarray,

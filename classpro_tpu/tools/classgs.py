@@ -11,7 +11,7 @@ from typing import Iterator
 
 import numpy as np
 
-from classpro_tpu.io.classfile import ClassRecord
+from classpro_tpu.io.classfile import ClassRecord, class_header
 from classpro_tpu.io.fastk import open_profiles
 from classpro_tpu.io.fastx import read_fastx
 
@@ -32,7 +32,7 @@ def classify_gs_file(fastx_path: str, fastk_root: str,
     for rid, rec in enumerate(read_fastx(fastx_path)):
         prof = P.fetch(rid)
         classes = "N" * (K - 1) + classify_gs_profile(prof, thres)
-        header = f"@{rec.name} {rec.comment}"
+        header = class_header(rec.name, rec.comment)
         yield ClassRecord(header, rec.seq, classes)
 
 

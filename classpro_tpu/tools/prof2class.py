@@ -11,7 +11,7 @@ from typing import Iterator
 
 import numpy as np
 
-from classpro_tpu.io.classfile import ClassRecord
+from classpro_tpu.io.classfile import ClassRecord, class_header
 from classpro_tpu.io.fastk import open_profiles
 from classpro_tpu.io.fastx import read_fastx
 
@@ -29,4 +29,4 @@ def prof2class_file(truth_prof_root: str, fastx_path: str) -> Iterator[ClassReco
     for rid, rec in enumerate(read_fastx(fastx_path)):
         prof = P.fetch(rid)
         classes = "N" * (K - 1) + truth_from_profile(prof)
-        yield ClassRecord(f"@{rec.name} {rec.comment}", rec.seq, classes)
+        yield ClassRecord(class_header(rec.name, rec.comment), rec.seq, classes)

@@ -162,6 +162,16 @@ def _rel_pipeline(U, PP: PipelineParams, R2: int, max_m: int):
                        axis=1)
         return lsum, csum, mask
 
+    # NOTE on comparisons: this backend's f64 division is NOT correctly
+    # rounded (measured x/x = 1 - 128ulp on XLA:CPU), so every
+    # mean-vs-threshold test below is done in exact int64
+    # cross-multiplied form.  Bit-equivalent to the reference's double
+    # `(double)csum/lsum` comparisons: csum <= 2^40 and lsum <= 2^17, so
+    # a non-tie distance from any integer/half-integer boundary is
+    # >= 0.5/lsum ~ 4e-6, far above the C division's <= 4e-12 rounding.
+    gHi = cov_t[:, HAPLO].astype(jnp.int64)
+    gDi = cov_t[:, DIPLO].astype(jnp.int64)
+
     # ---- no-H rescue (class_rel.c:630-672 / 744-784) -------------------
     no_h = ~jnp.any(inb & (asgn == HAPLO), axis=1)
     lsum, csum, dmask = dsum(asgn, DIPLO)
@@ -169,8 +179,7 @@ def _rel_pipeline(U, PP: PipelineParams, R2: int, max_m: int):
     # reference's first (fw) / last (bw) D in original order; its scan
     # entering count bcnt equals the reference's ccb (fw) / cce (bw).
     anchor_cnt = _oh_extract(bcnt, anchor)
-    mean_dcov = csum / lsum
-    rescue = no_h & has_d & (mean_dcov < gD)
+    rescue = no_h & has_d & (csum < gDi * lsum)
     cov2 = cov_t.astype(jnp.int64)
     cov2 = cov2.at[:, HAPLO].set(
         jnp.where(rescue, anchor_cnt, cov2[:, HAPLO]))
@@ -183,16 +192,17 @@ def _rel_pipeline(U, PP: PipelineParams, R2: int, max_m: int):
     # second no-h check -> demote D to H (class_rel.c:650-669)
     no_h2 = rescue & ~jnp.any(inb & (asgn == HAPLO), axis=1)
     lsum2, csum2, _ = dsum(asgn, DIPLO)
-    mean2 = csum2 / lsum2
-    flip = no_h2 & (jnp.abs(mean2 - gH) <= jnp.abs(mean2 - gD))
+    # lsum2 == 0 -> C's 0.0/0 mean is NaN and the fabs compare is false
+    flip = no_h2 & (lsum2 > 0) & (jnp.abs(csum2 - gHi * lsum2)
+                                  <= jnp.abs(csum2 - gDi * lsum2))
     asgn = jnp.where(flip[:, None] & (asgn == DIPLO), HAPLO, asgn)
 
     # ---- all-H -> maybe all-D (class_rel.c:674-690) ---------------------
     all_h = jnp.all(~inb | (asgn == HAPLO), axis=1)
     lsum_a = jnp.sum(jnp.where(inb, l_arr, 0), axis=1)
     csum_a = jnp.sum(jnp.where(inb, (bcnt + ecnt) * l_arr // 2, 0), axis=1)
-    mean_h = csum_a / lsum_a
-    flip_all = all_h & (jnp.abs(mean_h - gH) >= jnp.abs(mean_h - gD))
+    flip_all = all_h & (jnp.abs(csum_a - gHi * lsum_a)
+                        >= jnp.abs(csum_a - gDi * lsum_a))
     asgn = jnp.where(flip_all[:, None] & inb,
                      jnp.where(asgn == HAPLO, DIPLO, asgn), asgn)
 
@@ -200,14 +210,29 @@ def _rel_pipeline(U, PP: PipelineParams, R2: int, max_m: int):
     n_h = jnp.sum(inb & (asgn == HAPLO), axis=1)
     many_h = n_h >= m * 0.7
     lsum_h, csum_h, _ = dsum(asgn, HAPLO)
-    mean_hh = csum_h / lsum_h
-    demote = many_h & (lsum_h > 0) & (jnp.abs(mean_hh - gH)
-                                      >= jnp.abs(mean_hh - gD))
+    demote = many_h & (lsum_h > 0) & (jnp.abs(csum_h - gHi * lsum_h)
+                                      >= jnp.abs(csum_h - gDi * lsum_h))
     asgn = jnp.where(demote[:, None] & (asgn == HAPLO) & inb, 100, asgn)
     asgn = jnp.where(demote[:, None] & (asgn == DIPLO) & inb, REPEAT, asgn)
     asgn = jnp.where(asgn == 100, DIPLO, asgn)
 
-    # ---- hdrr (class_rel.c:715-731) -------------------------------------
+    # Both direction rows, AFTER rescue/demotes; bw rows in scan order.
+    # The fw/bw reconciliation (class_rel.c:847-938) happens on the HOST
+    # (reconcile_fwbw below): its hdrr tie test |hdrr-1| <= |hdrr-1|
+    # sits exactly on the comparison boundary for symmetric reads, and
+    # this backend's non-correctly-rounded f64 division (x/x can be
+    # 1-128ulp) flips such ties vs the reference's IEEE arithmetic.
+    return asgn   # (2R, max_m)
+
+
+def _reconcile_dev(asgn, m, bcnt, ecnt, fwd, R: int, max_m: int):
+    """Device-side fw/bw reconciliation (class_rel.c:847-938) — used
+    only by the all-device fallback/mesh path (classify_batch_dev).
+    CAVEAT: hdrr uses this backend's approximate f64 division; an exact
+    hdrr tie can resolve differently from the reference by ~1e-14 (the
+    production engine reconciles on the host instead, IEEE-exact)."""
+    cols = jnp.arange(max_m)[None, :]
+    inb = cols < m[:, None]
     dm = inb & (asgn == DIPLO)
     hm = inb & (asgn == HAPLO)
     f_d, any_d = _first_true(dm)
@@ -221,7 +246,6 @@ def _rel_pipeline(U, PP: PipelineParams, R2: int, max_m: int):
     hdrr = jnp.where(any_d & any_h,
                      jnp.where(fwd, p / q, q / p), 1.0)
 
-    # ---- fw/bw reconciliation (class_rel.c:847-938) ----------------------
     asgn_f = asgn[:R]
     hdrr_f, hdrr_b = hdrr[:R], hdrr[R:]
     m_f = m[:R]
@@ -248,6 +272,61 @@ def _rel_pipeline(U, PP: PipelineParams, R2: int, max_m: int):
     take_b = ~eq & ~is_prefix & (
         is_suffix | (jnp.abs(hdrr_f - 1.0) > jnp.abs(hdrr_b - 1.0)))
     return jnp.where(take_b[:, None], asgn_b, asgn_f)   # (R, max_m)
+
+
+def reconcile_fwbw(rel2: "np.ndarray", ccb: "np.ndarray",
+                   cce: "np.ndarray", m: "np.ndarray") -> "np.ndarray":
+    """Host-side fw/bw reconciliation (class_rel.c:847-938), IEEE-exact.
+
+    rel2: (2R, max_m) int8 device output (fw rows then bw rows, bw in
+    scan order); ccb/cce: (R, max_m) int rel-interval corrected counts
+    in forward order; m: (R,) live interval counts.  Returns the
+    reconciled (R, max_m) forward-order assignment.
+
+    Runs in numpy so the hdrr ratio test |hdrr_f-1| <= |hdrr_b-1| uses
+    correctly-rounded doubles: an EXACT tie at 1.0 is the common case
+    (symmetric reads) and must keep the forward pass, bit-for-bit as the
+    reference does; the device backend's approximate f64 division breaks
+    exactly that (see _reconcile_dev docstring)."""
+    import numpy as np
+
+    R = rel2.shape[0] // 2
+    out = rel2[:R].copy()
+    for j in range(R):
+        mm = int(m[j])
+        if mm <= 0:
+            continue
+        fw = rel2[j, :mm]
+        bw = rel2[R + j, :mm][::-1]
+        if np.array_equal(fw, bw):
+            continue
+        # is_eq_prefix / is_eq_suffix (class_rel.c:847-869)
+        def pref(a):
+            if a[0] != REPEAT:
+                return False
+            i = 0
+            while i < mm and a[i]:
+                i += 1
+            return not a[i:].any()
+
+        if pref(fw):
+            continue
+        if pref(fw[::-1]):
+            out[j, :mm] = bw
+            continue
+
+        def hdrr_of(a):
+            d = np.nonzero(a == DIPLO)[0]
+            h = np.nonzero(a == HAPLO)[0]
+            if len(d) == 0 or len(h) == 0:
+                return 1.0
+            return ((float(ccb[j, d[0]]) / float(ccb[j, h[0]]))
+                    / (float(cce[j, d[-1]]) / float(cce[j, h[-1]])))
+
+        if abs(hdrr_of(fw) - 1.0) <= abs(hdrr_of(bw) - 1.0):
+            continue
+        out[j, :mm] = bw
+    return out
 
 
 def _un_planes(U, PP: PipelineParams):
@@ -293,7 +372,9 @@ def rel_only_dev(fblob, iblob, PP: PipelineParams, R: int, max_m: int):
 
     iblob (int32): b,e,ccb,cce [4 x R*max_m] | m [R] | plen [R]
     fblob (f64):   pe [R*max_m]
-    Returns asgn (R, max_m) int8 (forward order, fw/bw reconciled).
+    Returns asgn (2R, max_m) int8: fw rows then bw rows (bw in scan
+    order).  The caller reconciles on the host (reconcile_fwbw) — the
+    hdrr tie test needs IEEE division (see _reconcile_dev docstring).
     """
     sz = R * max_m
     b = iblob[0:sz].reshape(R, max_m).astype(jnp.int64)
@@ -338,7 +419,9 @@ def classify_batch_dev(fblob, iblob, PP: PipelineParams,
     """Single-program pipeline (no step compaction): used by the
     data-parallel mesh path.  Returns final asgn (Bn, max_n) int8."""
     U = _unpack(fblob, iblob, Bn, max_n, R2, max_m)
-    rel_out = _rel_pipeline(U, PP, R2, max_m)
+    rel2 = _rel_pipeline(U, PP, R2, max_m)
+    rel_out = _reconcile_dev(rel2, U["m"], U["bcnt"], U["ecnt"],
+                             U["fwd"], R2 // 2, max_m)
     asgn_un = jnp.full((Bn, max_n), N_STATE, jnp.int32)
     asgn_un = asgn_un.at[
         U["rel_rows"][:, None], U["rel_cols"]].set(rel_out, mode="drop")

@@ -41,7 +41,7 @@ jax.config.update("jax_enable_x64", True)  # f64 decision path (ARCHITECTURE.md)
 # recompiling.
 
 from classpro_tpu.estimation import GlobalModel, build_global_model
-from classpro_tpu.io.classfile import ClassRecord
+from classpro_tpu.io.classfile import ClassRecord, class_header
 from classpro_tpu.io.fastk import load_histogram, open_profiles
 from classpro_tpu.io.fastx import read_fastx
 from classpro_tpu.numerics import LOGFACT
@@ -343,6 +343,11 @@ class TpuEngine:
                                         R, max_m)
             out = self._rel_exec(R, max_m)(fb, ib)
             st["max_m"] = max_m
+            # rel-interval counts for the host-side fw/bw reconciliation
+            sz = R * max_m
+            st["rel_ccb"] = ib[2 * sz:3 * sz].reshape(R, max_m)
+            st["rel_cce"] = ib[3 * sz:4 * sz].reshape(R, max_m)
+            st["rel_m"] = ib[4 * sz:4 * sz + R]
             box = {}
 
             def fetch():
@@ -367,10 +372,15 @@ class TpuEngine:
             n = len(g)
             rel_out = None
             if "thread" in st:
+                from classpro_tpu.tpu.device_pipeline import reconcile_fwbw
+
                 st["thread"].join()
                 if "err" in st["box"]:
                     raise st["box"]["err"]
-                rel_out = st["box"]["v"]
+                # device ships BOTH direction rows; the hdrr-tie
+                # reconciliation runs here with IEEE doubles
+                rel_out = reconcile_fwbw(st["box"]["v"], st["rel_ccb"],
+                                         st["rel_cce"], st["rel_m"])
             out_off = np.zeros(n + 1, np.int64)
             out_off[1:] = np.cumsum([len(seqs[i]) for i in g])
             buf = self.wall.finish_batch(slab, slot, n_out, n_rel,
@@ -456,12 +466,27 @@ class TpuEngine:
 def classify_file_tpu(fastx_path: str, fastk_root: str, coverage: int = 0,
                       read_len: int = 20000, model_path: str | None = None,
                       batch_size: int = 200, threads: int = 0,
-                      verbose: bool = False) -> Iterator[ClassRecord]:
+                      verbose: bool = False,
+                      warmup: bool = False) -> Iterator[ClassRecord]:
+    # setup (model build + optional device warmup) runs EAGERLY at call
+    # time — the streaming body is the inner generator
     hist = load_histogram(fastk_root)
     gm = build_global_model(hist, coverage=coverage, read_len=read_len,
                             model_path=model_path)
     P = open_profiles(fastk_root)
     eng = TpuEngine(gm, batch_size=batch_size, threads=threads)
+    if warmup:
+        # expected (R, max_m) ladder for this batch size: R = bucketed
+        # batch, max_m from the coarse ladder's low rungs (dataset-
+        # dependent higher rungs still compile on demand)
+        import sys as _sys
+
+        shapes = tuple((_bucket(batch_size), mm) for mm in (128, 192))
+        print(f"warming up device programs for shapes {shapes} "
+              f"(first execution builds the TPU program; minutes on a "
+              f"cold service)...", file=_sys.stderr)
+        eng.warmup(shapes)
+        print("warmup done", file=_sys.stderr)
 
     recs: list = []
 
@@ -479,7 +504,11 @@ def classify_file_tpu(fastx_path: str, fastk_root: str, coverage: int = 0,
             recs.append([r for r, _ in chunk])
             yield ([r.seq for r, _ in chunk], [p for _, p in chunk])
 
-    for classes in eng.classify_stream(chunk_iter()):
-        chunk_recs = recs.pop(0)
-        for rec, cls in zip(chunk_recs, classes):
-            yield ClassRecord(f"@{rec.name} {rec.comment}", rec.seq, cls)
+    def stream():
+        for classes in eng.classify_stream(chunk_iter()):
+            chunk_recs = recs.pop(0)
+            for rec, cls in zip(chunk_recs, classes):
+                yield ClassRecord(class_header(rec.name, rec.comment),
+                                  rec.seq, cls)
+
+    return stream()

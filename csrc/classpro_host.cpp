@@ -19,6 +19,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <deque>
 #include <thread>
 #include <vector>
 
@@ -1533,6 +1534,415 @@ void cp_expand_batch(int n_reads, const OutIntvl* iv, int slot,
   std::vector<std::thread> ts;
   for (int t = 0; t < T; t++) ts.emplace_back(worker);
   for (auto& th : ts) th.join();
+}
+
+}  // extern "C"
+
+// ===========================================================================
+// Seed selection (-s): C++ port of classpro_tpu/seeds.py (ref seed.c,
+// nthash.h).  Exact semantics of the byte-validated Python port, including
+// the reference's stale-slot mask-interval behavior (seed.c:125-188) and
+// the stable nw sort (glibc qsort order).  Single worker + ONE persistent
+// workspace = the reference's -T1 semantics (what the goldens pin).
+// ===========================================================================
+
+namespace seeds {
+
+constexpr int WSIZE = 1000;
+constexpr int WSIZE_REP = 200;
+constexpr int BOUNDARY_UNIQ_LEN = 2000;
+constexpr uint64_t HMOD = 2147483647ull;
+
+static inline uint64_t rol1(uint64_t v) { return (v << 1) | (v >> 63); }
+static inline uint64_t swapbits033(uint64_t v) {
+  uint64_t x = (v ^ (v >> 33)) & 1;
+  return v ^ (x | (x << 33));
+}
+static inline uint64_t Rt(uint64_t v) { return swapbits033(rol1(v)); }
+
+// taps[j][c]: fwd = R^(K-1-j)(seed_c); rev = R^j(seed_comp(c))
+struct HashTaps {
+  int K = -1;
+  std::vector<uint64_t> fwd, rev;  // (K, 256)
+};
+
+static void build_taps(HashTaps& T, int K) {
+  static const unsigned char bases[4] = {'A', 'C', 'G', 'T'};
+  static const uint64_t seedv[4] = {0x3C8BFBB395C60474ull,
+                                    0x3193C18562A02B4Cull,
+                                    0x20323ED082572324ull,
+                                    0x295549F54BE24456ull};
+  static const int comp[4] = {3, 2, 1, 0};  // A<->T, C<->G
+  T.K = K;
+  T.fwd.assign((size_t)K * 256, 0);
+  T.rev.assign((size_t)K * 256, 0);
+  for (int b = 0; b < 4; b++) {
+    std::vector<uint64_t> powers(K);
+    uint64_t v = seedv[b];
+    for (int r = 0; r < K; r++) { powers[r] = v; v = Rt(v); }
+    std::vector<uint64_t> cpow(K);
+    v = seedv[comp[b]];
+    for (int r = 0; r < K; r++) { cpow[r] = v; v = Rt(v); }
+    for (int j = 0; j < K; j++) {
+      unsigned char up = bases[b], lo = (unsigned char)(bases[b] + 32);
+      T.fwd[(size_t)j * 256 + up] = powers[K - 1 - j];
+      T.fwd[(size_t)j * 256 + lo] = powers[K - 1 - j];
+      T.rev[(size_t)j * 256 + up] = cpow[j];
+      T.rev[(size_t)j * 256 + lo] = cpow[j];
+    }
+  }
+}
+
+// canonical ntHash (mod 2^31-1) per profile position, rolling update:
+//   f_{i+1} = R(f_i) ^ R^K(seed(s[i])) ^ seed(s[i+K])
+//   r_{i+1} = Rinv(r_i ^ seedc(s[i])) ^ R^(K-1)(seedc(s[i+K]))
+static void kmer_hash(const HashTaps& T, const char* seq, int plen, int K,
+                      int64_t* out) {
+  const uint64_t* f0 = T.fwd.data();          // j = 0 row: R^(K-1)(seed)
+  const uint64_t* fK = T.fwd.data() + (size_t)(K - 1) * 256;  // seed_c
+  const uint64_t* r0 = T.rev.data();          // seedc
+  const uint64_t* rK = T.rev.data() + (size_t)(K - 1) * 256;  // R^(K-1)
+  uint64_t f = 0, r = 0;
+  for (int j = 0; j < K; j++) {
+    unsigned char c = (unsigned char)seq[j];
+    f ^= T.fwd[(size_t)j * 256 + c];
+    r ^= T.rev[(size_t)j * 256 + c];
+  }
+  uint64_t h = f < r ? f : r;
+  out[0] = (int64_t)(h % HMOD);
+  for (int i = 1; i < plen; i++) {
+    unsigned char cout = (unsigned char)seq[i - 1];
+    unsigned char cin = (unsigned char)seq[i + K - 1];
+    f = Rt(f) ^ Rt(f0[cout]) ^ fK[cin];
+    uint64_t rr = r ^ r0[cout];
+    rr = swapbits033(rr);
+    rr = (rr >> 1) | (rr << 63);              // ror1: inverse of R
+    r = rr ^ rK[cin];
+    h = f < r ? f : r;
+    out[i] = (int64_t)(h % HMOD);
+  }
+}
+
+struct Seg {
+  int b, e, cnt, nw;
+  bool is_seed;
+};
+
+// mask-interval workspace with the reference's stale-slot semantics
+// (seeds.py Workspace docstring; seed.c:125-188)
+struct SeedWs {
+  std::vector<std::pair<int, int>> slots;  // physical; fresh slots are {0,0}
+  int M = 0;                               // logical length
+  HashTaps taps;
+  std::vector<int64_t> hash;
+  std::vector<int64_t> sasgn;
+  std::vector<Seg> segs;
+  std::vector<int> order;
+
+  inline std::pair<int, int> slot(int i) const {
+    if (i < 0 || (size_t)i >= slots.size()) return {0, 0};
+    return slots[i];
+  }
+  inline void write(int i, int b, int e) {
+    if ((size_t)i >= slots.size()) slots.resize(i + 1, {0, 0});
+    slots[i] = {b, e};
+  }
+};
+
+static inline bool does_ovlp(int ab, int ae, int bb, int be) {
+  return std::max(ab, bb) <= std::min(ae - 1, be - 1);
+}
+
+static int ws_bs(const SeedWs& w, int l, int r, int b, int e) {
+  if (l > r) return -1;
+  int m = (l + r) / 2;
+  auto s = w.slot(m);
+  if (does_ovlp(s.first, s.second, b, e)) return m;
+  if (s.first < b) return ws_bs(w, m + 1, r, b, e);
+  return ws_bs(w, l, m - 1, b, e);
+}
+
+static bool ws_is_contained(const SeedWs& w, int b, int e) {
+  int idx = ws_bs(w, 0, w.M, b, e);
+  if (idx == -1) return false;
+  auto s = w.slot(idx);
+  return s.first <= b && e <= s.second;
+}
+
+static void ws_add_intvl(SeedWs& w, int b, int e) {
+  int idx = ws_bs(w, 0, w.M, b, e);
+  if (idx == -1) {
+    // reference off-by-one kept: M incremented BEFORE the write, so the
+    // new interval lands one past the sorted range and the stale slot
+    // M-1 is promoted instead (seed.c:163-168)
+    w.M += 1;
+    w.write(w.M, b, e);
+    std::vector<std::pair<int, int>> head(w.M);
+    for (int i = 0; i < w.M; i++) head[i] = w.slot(i);
+    std::sort(head.begin(), head.end());
+    for (int i = 0; i < w.M; i++) w.write(i, head[i].first, head[i].second);
+    return;
+  }
+  int l = idx - 1;
+  while (l >= 0) {
+    auto s = w.slot(l);
+    if (!does_ovlp(s.first, s.second, b, e)) break;
+    l--;
+  }
+  l += 1;
+  int r = idx + 1;
+  while (r < w.M) {
+    auto s = w.slot(r);
+    if (!does_ovlp(s.first, s.second, b, e)) break;
+    r++;
+  }
+  r -= 1;
+  int nb = std::min(w.slot(l).first, b);
+  int ne = std::max(w.slot(r).second, e);   // r may be M: stale read
+  w.write(l, nb, ne);
+  if (l == r) return;
+  int d = r - l;
+  w.M -= d;
+  for (int i = l + 1; i < w.M; i++) {
+    auto s = w.slot(i + d);
+    w.write(i, s.first, s.second);
+  }
+}
+
+static bool ws_covers_all(const SeedWs& w, int plen) {
+  if (w.M <= 0) return false;
+  auto s = w.slot(0);
+  return s.first == 0 && s.second == plen;
+}
+
+template <class Valid>
+static void compress(std::vector<Seg>& segs, const uint16_t* profile,
+                     int plen, bool valid0, Valid valid_at) {
+  segs.clear();
+  int b = 0, e = 1;
+  bool prev_valid = valid0;
+  while (e < plen) {
+    if (!prev_valid) {
+      while (e < plen && !valid_at(e)) e++;
+      segs.push_back({b, e, -1, -10, false});
+      b = e;
+      e += 1;
+      prev_valid = true;
+    } else {
+      while (e < plen && profile[e] == profile[e - 1]) e++;
+      segs.push_back({b, e, (int)profile[e - 1], 0, false});
+      b = e;
+      e += 1;
+      prev_valid = (b < plen) ? valid_at(b) : true;
+    }
+  }
+}
+
+static void window_sweep(std::vector<Seg>& segs, int wsize, bool maximizer) {
+  std::deque<Seg*> Q;
+  auto better = [&](int a, int b) { return maximizer ? a > b : a < b; };
+  bool last_oor = false;
+  int last_oor_pos = 0;
+  for (auto& seg : segs) {
+    if (seg.cnt >= 0) {
+      if (!Q.empty()) {
+        Seg* first = Q.front();
+        if (better(seg.cnt, first->cnt)) {
+          last_oor = false;
+          for (Seg* elem : Q) {
+            if (first->cnt == elem->cnt)
+              elem->nw = std::min(seg.b - elem->b, wsize);
+            else
+              elem->nw = maximizer ? elem->cnt
+                                   : std::max(wsize - elem->cnt, 0);
+          }
+          Q.clear();
+        }
+      }
+      while (!Q.empty() && better(seg.cnt, Q.back()->cnt)) {
+        Q.back()->nw = maximizer ? Q.back()->cnt
+                                 : std::max(wsize - Q.back()->cnt, 0);
+        Q.pop_back();
+      }
+      Q.push_back(&seg);
+    }
+    if (Q.empty()) continue;
+    while (!Q.empty() && Q.front()->b <= seg.b - wsize) {
+      Seg* first = Q.front();
+      first->nw = last_oor ? std::min(first->b - last_oor_pos + 1, wsize)
+                           : wsize;
+      if (Q.size() > 1 && (maximizer ? first->cnt > Q[1]->cnt
+                                     : first->cnt < Q[1]->cnt))
+        last_oor_pos = first->e;
+      Q.pop_front();
+      last_oor = true;
+    }
+  }
+  while (!Q.empty()) {
+    Seg* first = Q.front();
+    first->nw = last_oor ? std::min(first->b - last_oor_pos + 1, wsize)
+                         : wsize;
+    // seed.c:321,800: drain keeps the maximizer compare in BOTH modes
+    if (Q.size() > 1 && first->cnt > Q[1]->cnt) last_oor_pos = first->e;
+    Q.pop_front();
+    last_oor = true;
+  }
+}
+
+static void mark_seg(SeedWs& w, Seg& seg, const int64_t* hash,
+                     int64_t* sasgn, int wsize, int64_t mark, int plen) {
+  ws_add_intvl(w, std::max(0, seg.b - wsize), std::min(seg.e + wsize, plen));
+  seg.is_seed = true;
+  int64_t mh = hash[seg.b];
+  for (int j = seg.b + 1; j < seg.e; j++) mh = std::min(mh, hash[j]);
+  for (int j = seg.b; j < seg.e; j++)
+    if (hash[j] == mh) sasgn[j] = mark;
+}
+
+static void select_segs(SeedWs& w, std::vector<Seg>& segs,
+                        const int64_t* hash, int64_t* sasgn, int wsize,
+                        int64_t mark, int plen) {
+  if (ws_covers_all(w, plen)) return;
+  auto& order = w.order;
+  order.resize(segs.size());
+  for (size_t i = 0; i < segs.size(); i++) order[i] = (int)i;
+  // stable sort by nw desc == glibc qsort order (seeds.py note)
+  std::stable_sort(order.begin(), order.end(),
+                   [&](int a, int b) { return segs[a].nw > segs[b].nw; });
+  size_t i = 0;
+  while (i < order.size()) {
+    Seg& seg = segs[order[i]];
+    if (seg.nw < wsize) break;
+    mark_seg(w, seg, hash, sasgn, wsize, mark, plen);
+    i++;
+  }
+  while (i < order.size()) {
+    size_t ii = i;
+    int nw = segs[order[i]].nw;
+    while (ii < order.size() && segs[order[ii]].nw == nw) {
+      Seg& s = segs[order[ii]];
+      if (!ws_is_contained(w, s.b, s.e)) s.is_seed = true;
+      ii++;
+    }
+    for (size_t jj = i; jj < ii; jj++) {
+      Seg& s = segs[order[jj]];
+      if (s.is_seed) mark_seg(w, s, hash, sasgn, wsize, mark, plen);
+    }
+    if (ws_covers_all(w, plen)) break;
+    i = ii;
+  }
+}
+
+static inline bool is_hd(char c) { return c == 'H' || c == 'D'; }
+
+static int anno_repeat(int64_t* sasgn, const char* classes, int plen, int K,
+                       int32_t* rep_out, int rep_cap) {
+  const int MIN_UNIQ_LEN = (int)(K * 2.5);
+  for (int i = 0; i < plen; i++) sasgn[i] = -10;
+  int b = 0;
+  bool in_R = classes[0] == 'R';
+  int n_normal = is_hd(classes[0]) ? 1 : 0;
+  for (int e = 1; e < plen; e++) {
+    if (in_R) {
+      if (classes[e] != 'R') {
+        b = e;
+        in_R = false;
+        n_normal = is_hd(classes[e]) ? 1 : 0;
+      }
+    } else {
+      if (classes[e] == 'R') {
+        if (n_normal >= MIN_UNIQ_LEN)
+          for (int i = b; i < e; i++) sasgn[i] = 0;
+        in_R = true;
+      } else if (is_hd(classes[e])) {
+        n_normal++;
+      }
+    }
+  }
+  if (!in_R && n_normal >= MIN_UNIQ_LEN)
+    for (int i = b; i < plen; i++) sasgn[i] = 0;
+
+  int nrep = 0;
+  bool r_in = sasgn[0] == -10;
+  b = K - 1;
+  for (int i = 1; i < plen; i++) {
+    if (!r_in && sasgn[i] == -10) {
+      b = i + K - 1;
+      r_in = true;
+    }
+    if (r_in && sasgn[i] != -10) {
+      if (nrep < rep_cap) {
+        rep_out[2 * nrep] = b;
+        rep_out[2 * nrep + 1] = i + K - 1;
+      }
+      nrep++;
+      r_in = false;
+    }
+  }
+  if (r_in) {
+    if (nrep < rep_cap) {
+      rep_out[2 * nrep] = b;
+      rep_out[2 * nrep + 1] = plen + K - 1;
+    }
+    nrep++;
+  }
+
+  int l = BOUNDARY_UNIQ_LEN;
+  while (l < plen && sasgn[l] == -10) l++;
+  int r = plen - BOUNDARY_UNIQ_LEN;
+  while (r >= 0 && sasgn[r] == -10) r--;
+  for (int i = l; i < r; i++)
+    if (sasgn[i] == -10) sasgn[i] = -11;
+  return nrep;
+}
+
+}  // namespace seeds
+
+extern "C" {
+
+void* cp_seed_ws_new() { return new seeds::SeedWs(); }
+void cp_seed_ws_free(void* w) { delete (seeds::SeedWs*)w; }
+
+// Full find_seeds for one read (seed.c:966-1031 / seeds.py find_seeds).
+// seq: read chars (plen + K - 1); classes: plen class chars (tail of the
+// .class body); out: plen label chars E/H/D/R.  Returns n_rep (clamped
+// writes into rep_out, 2*rep_cap int32).  Pass the SAME ws for
+// consecutive reads (reference per-thread stale-slot behavior).
+int cp_find_seeds(void* ws_ptr, const char* seq, const char* classes,
+                  const uint16_t* profile, int plen, int K, char* out,
+                  int32_t* rep_out, int rep_cap) {
+  using namespace seeds;
+  SeedWs& w = *(SeedWs*)ws_ptr;
+  if (plen <= 0) return 0;
+  if (w.taps.K != K) build_taps(w.taps, K);
+  w.hash.resize(plen);
+  w.sasgn.resize(plen);
+  int64_t* sasgn = w.sasgn.data();
+  int nrep = anno_repeat(sasgn, classes, plen, K, rep_out, rep_cap);
+  kmer_hash(w.taps, seq, plen, K, w.hash.data());
+
+  for (char C : {'H', 'D'}) {
+    compress(w.segs, profile, plen, classes[0] == C,
+             [&](int e) { return classes[e] == C; });
+    window_sweep(w.segs, WSIZE, true);
+    w.M = 0;
+    for (auto& s : w.segs)
+      if (s.cnt == -1) { w.write(w.M, s.b, s.e); w.M++; }
+    select_segs(w, w.segs, w.hash.data(), sasgn, WSIZE, -2, plen);
+  }
+
+  compress(w.segs, profile, plen,
+           sasgn[0] <= -10 && classes[0] != 'E',
+           [&](int e) { return sasgn[e] <= -10 && classes[e] != 'E'; });
+  window_sweep(w.segs, WSIZE_REP, false);
+  w.M = 0;
+  for (auto& s : w.segs)
+    if (s.cnt == -1) { w.write(w.M, s.b, s.e); w.M++; }
+  select_segs(w, w.segs, w.hash.data(), sasgn, WSIZE_REP, -3, plen);
+
+  for (int i = 0; i < plen; i++)
+    out[i] = sasgn[i] == -2 ? classes[i] : (sasgn[i] == -3 ? 'R' : 'E');
+  return nrep;
 }
 
 }  // extern "C"

@@ -79,3 +79,90 @@ def test_db_roundtrip(tmp_path):
     assert db.header(0) == "@movieX/17/100_160"
     assert db.header(1) == "@movieX/18/0_52"
     db.close()
+
+
+def test_multiblock_write_and_block_open(tmp_path):
+    """write_dam(nblocks=3, cutoff=...) emits a DBsplit-style block
+    table; block-addressed opens (root.N) see exactly their partition;
+    trim() applies Trim_DB's cutoff predicate (DB.c:908-1043)."""
+    from classpro_tpu.io.dazz import DazzDB, write_dam
+
+    recs = [(f"ctg{i}", "ACGT" * (30 + 17 * i)) for i in range(11)]
+    root = str(tmp_path / "m")
+    write_dam(root, recs, nblocks=3, cutoff=300)
+
+    full = DazzDB(root + ".dam")
+    assert full.nreads == 11 and full.nblocks == 3 and full.cutoff == 300
+    total = 0
+    seen = []
+    for b in (1, 2, 3):
+        blk = DazzDB(f"{root}.{b}")
+        assert blk.part == b
+        for i in range(blk.nreads):
+            seen.append(blk.load_read(i))
+        total += blk.nreads
+        blk.trim()
+        # trim keeps only reads >= cutoff within the block
+        assert all(r.rlen >= 300 for r in blk.reads)
+        blk.close()
+    assert total == 11
+    assert seen == [seq for _, seq in recs]
+    full.trim()
+    assert full.nreads == sum(1 for _, s in recs if len(s) >= 300)
+    assert full.totlen == sum(len(s) for _, s in recs if len(s) >= 300)
+    full.close()
+
+
+def test_multiblock_reference_interop(tmp_path):
+    """The reference DB.c opens a block of a multi-block DB we wrote and
+    agrees on the partition + Trim_DB results (C harness compiled from
+    the reference sources; skipped when they are unavailable)."""
+    import os
+    import subprocess
+
+    import pytest
+
+    refsrc = "/tmp/refbuild"
+    if not os.path.exists(os.path.join(refsrc, "DB.c")):
+        pytest.skip("reference sources not staged")
+    from classpro_tpu.io.dazz import DazzDB, write_dam
+
+    recs = [(f"ctg{i}", "ACGT" * (30 + 17 * i)) for i in range(11)]
+    root = str(tmp_path / "m")
+    write_dam(root, recs, nblocks=3, cutoff=300)
+
+    harness = tmp_path / "blkchk.c"
+    harness.write_text(r'''
+#include <stdio.h>
+#include "DB.h"
+int main(int argc, char** argv)
+{ DAZZ_DB db;
+  if (Open_DB(argv[1],&db) < 0) return 1;
+  printf("part=%d nreads=%d ufirst=%d\n",db.part,db.nreads,db.ufirst);
+  Trim_DB(&db);
+  printf("trimmed nreads=%d totlen=%lld maxlen=%d\n",
+         db.nreads,db.totlen,db.maxlen);
+  for (int i = 0; i < db.nreads; i++)
+    printf("rlen[%d]=%d\n",i,db.reads[i].rlen);
+  return 0;
+}
+''')
+    exe = tmp_path / "blkchk"
+    subprocess.run(["gcc", "-O0", "-w", "-I", refsrc, "-o", str(exe),
+                    str(harness), os.path.join(refsrc, "DB.c"),
+                    os.path.join(refsrc, "QV.c"),
+                    os.path.join(refsrc, "gene_core.c"), "-lm", "-lz"],
+                   check=True, capture_output=True)
+    for b in (1, 2, 3):
+        r = subprocess.run([str(exe), f"{root}.{b}"], check=True,
+                           capture_output=True, text=True)
+        lines = r.stdout.strip().split("\n")
+        ours = DazzDB(f"{root}.{b}")
+        assert lines[0] == (f"part={b} nreads={ours.nreads} "
+                            f"ufirst={ours.ufirst}")
+        ours.trim()
+        assert lines[1] == (f"trimmed nreads={ours.nreads} "
+                            f"totlen={ours.totlen} maxlen={ours.maxlen}")
+        assert lines[2:] == [f"rlen[{i}]={r.rlen}"
+                             for i, r in enumerate(ours.reads)]
+        ours.close()

@@ -63,3 +63,57 @@ def test_psum_estimation_matches_hist_model():
     # instance of the dataset appears at exactly one profile position
     assert (gm.cov == gm_ref.cov).all()
     assert gm.dr_ratio == gm_ref.dr_ratio
+
+
+def test_real_two_process_jax_distributed(tmp_path):
+    """SURVEY §4's prescription, for real: two OS processes initialize
+    jax.distributed against a localhost coordinator, run
+    parallel/driver.py main() end-to-end (estimation, shard classify,
+    psum barrier, pid-0 merge), and the merged file equals a
+    single-process run.  Exercises driver.py's
+    jax.distributed.initialize path and psum_histogram's
+    addressable-shards-only construction under real multi-process."""
+    import gzip
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    fix = FIX / "tiny"
+    src = tmp_path / "reads.fasta"
+    src.write_bytes(gzip.decompress((fix / "reads.fasta.gz").read_bytes()))
+    for fn in ("reads.prof", ".reads.pidx.1", ".reads.prof.1", "reads.hist"):
+        (tmp_path / fn).write_bytes((fix / fn).read_bytes())
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_ENABLE_X64"] = "1"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    repo = str(pathlib.Path(__file__).resolve().parent.parent)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    single = tmp_path / "single.class"
+    subprocess.run(
+        [sys.executable, "-m", "classpro_tpu.parallel.driver", str(src),
+         "-N", str(tmp_path / "reads"), "-o", str(single)],
+        env=env, check=True, capture_output=True, timeout=600)
+
+    multi = tmp_path / "multi.class"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "classpro_tpu.parallel.driver", str(src),
+             "-N", str(tmp_path / "reads"), "-o", str(multi),
+             "--nproc", "2", "--pid", str(pid),
+             "--coord", f"127.0.0.1:{port}"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se.decode()[-2000:]
+    assert multi.read_bytes() == single.read_bytes()

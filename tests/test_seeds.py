@@ -79,3 +79,37 @@ def test_kmer_hash_matches_rolling_definition():
         want.append(min(ntf(kmer), ntr(kmer)) % MOD)
     got = kmer_hash(seq.encode(), plen, K)
     assert list(got) == want
+
+
+def test_native_seed_port_equivalence():
+    """C++ cp_find_seeds == the Python oracle port, labels AND rep
+    intervals, across the tiny fixture reads with ONE shared workspace
+    each (the cross-read stale-slot state must match too)."""
+    import gzip
+
+    import pytest
+
+    try:
+        from classpro_tpu.native import NativeSeedWorkspace
+    except Exception:
+        pytest.skip("native library unavailable")
+    from classpro_tpu.io.classfile import read_class
+    from classpro_tpu.io.fastk import open_profiles
+    from classpro_tpu.seeds import Workspace, find_seeds
+
+    import tempfile, shutil, os, pathlib
+    fix = pathlib.Path(__file__).parent / "fixtures" / "tiny"
+    with tempfile.TemporaryDirectory() as d:
+        for fn in ("reads.prof", ".reads.pidx.1", ".reads.prof.1"):
+            shutil.copy(fix / fn, d)
+        cls = os.path.join(d, "golden.class")
+        open(cls, "wb").write(gzip.decompress((fix / "golden.class.gz").read_bytes()))
+        P = open_profiles(os.path.join(d, "reads"))
+        K = P.kmer
+        ws_py = Workspace()
+        ws_c = NativeSeedWorkspace()
+        for rid, rec in enumerate(read_class(cls)):
+            prof = P.fetch(rid)
+            got = ws_c.find_seeds(rec.seq, rec.classes[K - 1:], prof, K)
+            want = find_seeds(rec.seq, rec.classes[K - 1:], prof, K, ws_py)
+            assert got == want, f"read {rid}"

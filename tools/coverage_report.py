@@ -80,10 +80,21 @@ def battery() -> None:
         tiny = os.path.join(top, "tiny")
         fa = stage_fixture("tiny", tiny)
         classpro(["-v", "-T1", f"-P{tiny}", fa], cwd=tiny)
-        classpro(["-T1", "-c30", f"-P{tiny}", fa], cwd=tiny)
+        classpro(["-v", "-T1", "-c30", f"-P{tiny}", fa], cwd=tiny)
         classpro(["-T1", "-r5000", f"-P{tiny}", fa], cwd=tiny)
         classpro(["-T4", f"-P{tiny}", fa], cwd=tiny)
-        classpro(["-T1", f"-M{tiny}/hisim.model", f"-P{tiny}", fa], cwd=tiny)
+        classpro(["-v", "-T1", f"-M{tiny}/hisim.model", f"-P{tiny}", fa],
+                 cwd=tiny)
+        # FASTQ input + separate FASTK root (-N) paths (ClassPro.c/io.c)
+        import gzip as _gzip
+
+        from classpro_tpu.io.fastx import read_fastx as _rfx
+        fq = os.path.join(tiny, "reads2.fastq.gz")
+        with _gzip.open(fq, "wt") as f:
+            for r in _rfx(fa):
+                f.write(f"@{r.name} {r.comment}\n{r.seq}\n+\n"
+                        f"{'I' * len(r.seq)}\n")
+        classpro(["-T1", f"-N{tiny}/reads", f"-P{tiny}", fq], cwd=tiny)
         med = os.path.join(top, "medium")
         fa_m = stage_fixture("medium", med)
         classpro(["-T1", f"-P{med}", fa_m], cwd=med)
@@ -127,7 +138,7 @@ def battery() -> None:
                 continue
             bd = os.path.join(top, "branch_" + os.path.basename(d))
             stage_fixture(os.path.join("branch", os.path.basename(d)), bd)
-            classpro(["-T1", f"-P{bd}", "reads.fasta"], cwd=bd)
+            classpro(["-T1", f"-P{bd}", "reads.fasta.gz"], cwd=bd)
     print("battery done; .gcda accumulated in", REFCOV)
 
 
