@@ -288,8 +288,39 @@ class ProfileIndex:
         hi = int(self.index[rid + 1])
         return data[lo:hi].tobytes()
 
+    _native = None  # class-level: 0 = unavailable, else the ctypes lib
+
     def fetch(self, rid: int, max_len: int | None = None) -> np.ndarray:
-        """Uncompressed profile of read ``rid`` (0-based)."""
+        """Uncompressed profile of read ``rid`` (0-based).  Decodes with
+        the C++ codec (csrc cp_decode_profile, ~100x the Python loop)
+        when the native library is available; the Python decoder stays
+        as the byte-validated fallback/oracle."""
+        if ProfileIndex._native is None:
+            try:
+                from classpro_tpu.native import get_lib
+
+                ProfileIndex._native = get_lib()
+            except Exception:
+                ProfileIndex._native = 0
+        if ProfileIndex._native:
+            w = self._part_of(rid)
+            data = self._data(w)
+            first_of_part = rid == 0 or (w > 0 and rid == self.nbase[w - 1])
+            lo = 0 if first_of_part else int(self.index[rid])
+            hi = int(self.index[rid + 1])
+            nb = hi - lo
+            if nb == 0:
+                return np.zeros(0, dtype=np.uint16)
+            cap = 2 * nb + 16 if max_len is None else max_len
+            while True:
+                out = np.empty(cap, np.uint16)
+                n = ProfileIndex._native.cp_decode_profile(
+                    data[lo:hi].ctypes.data, nb, out.ctypes.data, cap)
+                if n <= cap:
+                    return out[:n]
+                if max_len is not None:
+                    return out[:max_len]
+                cap = n
         return decode_profile(self.raw(rid), max_len)
 
     def __len__(self) -> int:

@@ -304,9 +304,19 @@ class NativeWall:
         seq_len = np.array([len(s) for s in seqs], np.int32)
         prof_len = np.array([len(p) for p in profs_c], np.int32)
         while True:
-            # np.empty: the C++ fills [i*slot, i*slot+n_out[i]) and every
-            # consumer masks to n_out, so zeroing 26MB/chunk is waste
-            out = np.empty(n * slot, dtype=_IVDT)
+            # np.empty + pooling: the C++ fills [i*slot, i*slot+n_out[i])
+            # and every consumer masks to n_out, so neither zeroing nor a
+            # fresh 11MB allocation (page faults) per chunk is needed —
+            # slabs are recycled via release_slab() at finish
+            out = None
+            pool = getattr(self, "_slab_pool", None)
+            if pool:
+                for k, buf in enumerate(pool):
+                    if buf.shape[0] >= n * slot:
+                        out = pool.pop(k)[: n * slot]
+                        break
+            if out is None:
+                out = np.empty(n * slot, dtype=_IVDT)
             n_out = np.zeros(n, np.int32)
             n_rel = np.zeros(n, np.int32)
             btg, erates, pe_idx, hc_idx, n_cap = self._walk_tables()
@@ -327,6 +337,16 @@ class NativeWall:
             if (n_out >= 0).all():
                 return out, n_out, n_rel, slot
             slot *= 4
+
+    def release_slab(self, slab: np.ndarray) -> None:
+        """Return a wall slab for reuse (keeps at most 4 — the stream
+        holds <= 3 chunks in flight)."""
+        pool = getattr(self, "_slab_pool", None)
+        if pool is None:
+            pool = self._slab_pool = []
+        base = slab.base if slab.base is not None else slab
+        if len(pool) < 4:
+            pool.append(base)
 
     def pack_rel(self, slab: np.ndarray, slot: int, n_out: np.ndarray,
                  n_rel: np.ndarray, plens: np.ndarray, R: int,

@@ -291,15 +291,21 @@ def reconcile_fwbw(rel2: "np.ndarray", ccb: "np.ndarray",
     import numpy as np
 
     R = rel2.shape[0] // 2
+    max_m = rel2.shape[1]
     out = rel2[:R].copy()
-    for j in range(R):
+    # vectorized fast path: rows where fw == reversed-bw (the common
+    # case) need no work; only disagreeing rows get the scalar treatment
+    cols = np.arange(max_m)[None, :]
+    mv = np.asarray(m)[:, None]
+    flip = np.where(cols < mv, mv - 1 - cols, cols)
+    bw_all = np.take_along_axis(rel2[R:], flip, axis=1)
+    ineq = ((rel2[:R] != bw_all) & (cols < mv)).any(axis=1)
+    for j in np.nonzero(ineq)[0]:
         mm = int(m[j])
         if mm <= 0:
             continue
         fw = rel2[j, :mm]
         bw = rel2[R + j, :mm][::-1]
-        if np.array_equal(fw, bw):
-            continue
         # is_eq_prefix / is_eq_suffix (class_rel.c:847-869)
         def pref(a):
             if a[0] != REPEAT:

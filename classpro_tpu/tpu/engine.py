@@ -386,6 +386,8 @@ class TpuEngine:
             buf = self.wall.finish_batch(slab, slot, n_out, n_rel,
                                          rel_out, st["max_m"], out_off,
                                          threads=self.threads)
+            if hasattr(self.wall, "release_slab"):
+                self.wall.release_slab(slab)
             bts = buf.tobytes()
             for r, i in enumerate(g):
                 res[i] = bts[out_off[r]: out_off[r + 1]].decode("ascii")

@@ -20,6 +20,9 @@
 #include <cstdint>
 #include <cstring>
 #include <deque>
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
 #include <thread>
 #include <vector>
 
@@ -528,31 +531,60 @@ class WallWalk {
 
     // vectorizable candidate prescreen: walls are rare (~1.5% of
     // positions pass), so the wall-test work below runs over a compacted
-    // candidate index list instead of every position
-    auto& cand = ws_.cand;
-    cand.assign(plen_ + 9, 0);   // +8 tail pad for the word scan
-    {  // uniform uint16 ops so the compiler vectorizes the flag pass
+    // candidate index list instead of every position.  Single fused
+    // pass: 16 u16 lanes -> movemask -> direct index extraction (no
+    // intermediate flag array, no second scan).
+    auto& cidx = ws_.cand_idx;
+    cidx.clear();
+#if defined(__AVX2__)
+    {
+      const __m256i cmaxv = _mm256_set1_epi16((short)M_.cmax);
+      const __m256i mccm1 =
+          _mm256_set1_epi16((short)(M_.min_cnt_change - 1));
+      int i = 1;
+      for (; i + 16 <= plen_; i += 16) {
+        __m256i a = _mm256_loadu_si256((const __m256i*)(prof_ + i - 1));
+        __m256i b = _mm256_loadu_si256((const __m256i*)(prof_ + i));
+        __m256i mn = _mm256_min_epu16(a, b);
+        __m256i mx = _mm256_max_epu16(a, b);
+        // counts are <= 32767 so signed 16-bit compares are exact
+        __m256i ok_lo = _mm256_cmpgt_epi16(cmaxv, mn);
+        __m256i ok_ch =
+            _mm256_cmpgt_epi16(_mm256_sub_epi16(mx, mn), mccm1);
+        __m256i ok = _mm256_and_si256(ok_lo, ok_ch);
+        uint32_t mask = (uint32_t)_mm256_movemask_epi8(
+            _mm256_packs_epi16(ok, _mm256_setzero_si256()));
+        // packs interleaves 128-bit halves: low 8 flags in bits 0..7,
+        // high 8 flags in bits 16..23
+        uint32_t m16 = (mask & 0xffu) | ((mask >> 8) & 0xff00u);
+        while (m16) {
+          int b2 = __builtin_ctz(m16);
+          cidx.push_back(i + b2);
+          m16 &= m16 - 1;
+        }
+      }
+      for (; i < plen_; i++) {
+        uint16_t a = prof_[i - 1], b = prof_[i];
+        uint16_t mn = a < b ? a : b;
+        uint16_t mx = a < b ? b : a;
+        if ((mn < (uint16_t)M_.cmax) &
+            ((uint16_t)(mx - mn) >= (uint16_t)M_.min_cnt_change))
+          cidx.push_back(i);
+      }
+    }
+#else
+    {
       const uint16_t cmax16 = (uint16_t)M_.cmax;
       const uint16_t mcc16 = (uint16_t)M_.min_cnt_change;
       for (int i = 1; i < plen_; i++) {
         uint16_t a = prof_[i - 1], b = prof_[i];
         uint16_t mn = a < b ? a : b;
         uint16_t mx = a < b ? b : a;
-        cand[i] = (uint8_t)((mn < cmax16) & ((uint16_t)(mx - mn) >= mcc16));
+        if ((mn < cmax16) & ((uint16_t)(mx - mn) >= mcc16))
+          cidx.push_back(i);
       }
     }
-    // collect candidate indices 8 positions at a time (walls are rare,
-    // ~1.5% of positions, so most 8-byte words are zero)
-    auto& cidx = ws_.cand_idx;
-    cidx.clear();
-    const uint8_t* cp = cand.data();
-    for (int base = 0; base < plen_; base += 8) {
-      uint64_t w;
-      memcpy(&w, cp + base, 8);
-      if (!w) continue;
-      for (int b = 0; b < 8; b++)
-        if (cp[base + b]) cidx.push_back(base + b);
-    }
+#endif
 
     for (int i : cidx) {
       int cim1 = prof_[i - 1], ci = prof_[i];
@@ -1090,35 +1122,141 @@ static double u_logp_hd(const UnrelGlob& G, const OutIntvl* iv,
   return logp_l + logp_r;
 }
 
-// one relaxation update (class_unrel.c:192-246)
-static void u_update_state(const UnrelGlob& G, const OutIntvl* iv,
-                           int8_t* asgn, int N, int idx) {
+// Relaxation scratch: the nearest-reliable-H/D searches (sorted index
+// lists + binary search instead of O(N) scans) and every state-logp
+// term that depends only on (interval, rel-neighborhood) are memoized;
+// per update only the dynamic adjacent-state pe_o gates re-evaluate.
+// The rel-H/D sets change ONLY when a non-fixed is_rel interval (DP
+// state E/R) is re-assigned — the lists are edited then, and affected
+// memos invalidate through the (lH,rH,lD,rD) key.  The arithmetic per
+// update is identical to the direct form (class_unrel.c:192-246).
+struct URelax {
+  std::vector<int> relH, relD;
+  struct Memo {
+    int key[4] = {-2, -2, -2, -2};
+    double logpR;
+    double statH_l, statH_r, statD_l, statD_r;  // max(sf, sf_er) sides
+  };
+  std::vector<Memo> memo;
+  std::vector<double> logpE;
+  std::vector<uint8_t> einit;
+};
+
+static inline void u_nn_list(const std::vector<int>& v, int idx, int* lo,
+                             int* ro) {
+  auto it = std::lower_bound(v.begin(), v.end(), idx);
+  *lo = it == v.begin() ? -1 : *(it - 1);
+  while (it != v.end() && *it == idx) ++it;
+  *ro = it == v.end() ? -1 : *it;
+}
+
+static inline void u_list_set(std::vector<int>& v, int idx, bool member) {
+  auto it = std::lower_bound(v.begin(), v.end(), idx);
+  bool in = it != v.end() && *it == idx;
+  if (member && !in) v.insert(it, idx);
+  else if (!member && in) v.erase(it);
+}
+
+// static sides of u_logp_hd: max(skellam drift to the nearest rel-s,
+// errors-in-others vs the interpolated estimate)
+static inline void u_hd_static(const UnrelGlob& G, const OutIntvl* iv,
+                               int idx, int s, int l_rel, int r_rel,
+                               int lo, int ro, double* out_l,
+                               double* out_r) {
   const OutIntvl& I = iv[idx];
+  double sf = NEG_INF, sf_er = NEG_INF;
+  if (l_rel != -1) {
+    const OutIntvl& L = iv[l_rel];
+    sf = sk_logp_skellam(
+        G.sk, I.cb - L.cce,
+        (double)L.cce * std::abs(I.b - (L.e - 1)) / G.read_len);
+  }
+  int est_cnt = u_est_cov(G, iv, I.b, s, l_rel, r_rel, lo, ro);
+  if (est_cnt >= I.cb) sf_er = u_logp_errorin_o(G, est_cnt, I.cb);
+  *out_l = sf > sf_er ? sf : sf_er;
+
+  sf = NEG_INF; sf_er = NEG_INF;
+  if (r_rel != -1) {
+    const OutIntvl& R = iv[r_rel];
+    sf = sk_logp_skellam(
+        G.sk, R.ccb - I.ce,
+        (double)R.ccb * std::abs(R.b - (I.e - 1)) / G.read_len);
+  }
+  est_cnt = u_est_cov(G, iv, I.e - 1, s, l_rel, r_rel, lo, ro);
+  if (est_cnt >= I.ce) sf_er = u_logp_errorin_o(G, est_cnt, I.ce);
+  *out_r = sf > sf_er ? sf : sf_er;
+}
+
+// dynamic-gate combine for one H/D state (tail of u_logp_hd)
+static inline double u_hd_combine(const UnrelGlob& G, const OutIntvl& I,
+                                  const int8_t* asgn, int N, int idx,
+                                  int s, double stat_l, double stat_r) {
+  double er_l = (idx - 1 >= 0 && asgn[idx - 1] == s) ? I.pe_o_b : NEG_INF;
+  double er_r = (idx + 1 < N && asgn[idx + 1] == s) ? I.pe_o_e : NEG_INF;
+  double l = er_l > stat_l ? er_l : stat_l;
+  double r = er_r > stat_r ? er_r : stat_r;
+  if (l == NEG_INF && r == NEG_INF) {
+    l = u_logp_poisson(I.cb, G.cov[s]);
+    r = u_logp_poisson(I.ce, G.cov[s]);
+  } else if (l == NEG_INF) {
+    l = r;
+  } else if (r == NEG_INF) {
+    r = l;
+  }
+  return l + r;
+}
+
+// one relaxation update (class_unrel.c:192-246), memoized form
+static void u_update_state(const UnrelGlob& G, const OutIntvl* iv,
+                           int8_t* asgn, int N, int idx, URelax& U) {
+  const OutIntvl& I = iv[idx];
+  int8_t old = asgn[idx];
   if ((I.cb > I.ce ? I.cb : I.ce) >= G.cov[U_REPEAT]) {
     asgn[idx] = U_REPEAT;
-    return;
-  }
-  int lH, rH, lD, rD;
-  u_find_nn(iv, asgn, N, idx, U_HAPLO, &lH, &rH);
-  u_find_nn(iv, asgn, N, idx, U_DIPLO, &lD, &rD);
-  double logpmax = NEG_INF;
-  int smax = -1;
-  for (int s = 0; s < 4; s++) {
-    double logp;
-    if (s == U_ERROR)
-      logp = u_logp_e(G, I);
-    else if (s == U_HAPLO)
-      logp = u_logp_hd(G, iv, asgn, N, U_HAPLO, idx, lH, rH, lD, rD);
-    else if (s == U_DIPLO)
-      logp = u_logp_hd(G, iv, asgn, N, U_DIPLO, idx, lD, rD, lH, rH);
-    else
-      logp = u_logp_r(G, iv, idx, lD, rD);
-    if (logpmax < logp) {
-      logpmax = logp;
-      smax = s;
+  } else {
+    int lH, rH, lD, rD;
+    u_nn_list(U.relH, idx, &lH, &rH);
+    u_nn_list(U.relD, idx, &lD, &rD);
+    auto& M = U.memo[idx];
+    if (M.key[0] != lH || M.key[1] != rH || M.key[2] != lD ||
+        M.key[3] != rD) {
+      M.key[0] = lH; M.key[1] = rH; M.key[2] = lD; M.key[3] = rD;
+      M.logpR = u_logp_r(G, iv, idx, lD, rD);
+      u_hd_static(G, iv, idx, U_HAPLO, lH, rH, lD, rD, &M.statH_l,
+                  &M.statH_r);
+      u_hd_static(G, iv, idx, U_DIPLO, lD, rD, lH, rH, &M.statD_l,
+                  &M.statD_r);
     }
+    if (!U.einit[idx]) {
+      U.einit[idx] = 1;
+      U.logpE[idx] = u_logp_e(G, I);
+    }
+    // same scan order as the reference: E, R, H, D
+    double logpmax = NEG_INF;
+    int smax = -1;
+    for (int s = 0; s < 4; s++) {
+      double logp;
+      if (s == U_ERROR)
+        logp = U.logpE[idx];
+      else if (s == U_REPEAT)
+        logp = M.logpR;
+      else if (s == U_HAPLO)
+        logp = u_hd_combine(G, I, asgn, N, idx, U_HAPLO, M.statH_l,
+                            M.statH_r);
+      else
+        logp = u_hd_combine(G, I, asgn, N, idx, U_DIPLO, M.statD_l,
+                            M.statD_r);
+      if (logpmax < logp) {
+        logpmax = logp;
+        smax = s;
+      }
+    }
+    if (smax != -1 && asgn[idx] != smax) asgn[idx] = (int8_t)smax;
   }
-  if (smax != -1 && asgn[idx] != smax) asgn[idx] = (int8_t)smax;
+  if (iv[idx].is_rel && asgn[idx] != old) {
+    u_list_set(U.relH, idx, asgn[idx] == U_HAPLO);
+    u_list_set(U.relD, idx, asgn[idx] == U_DIPLO);
+  }
 }
 
 // two relaxation sweeps for one read (class_unrel.c:248-300)
@@ -1130,13 +1268,23 @@ static void u_classify_read(const UnrelGlob& G, const OutIntvl* iv,
     int kb = iv[b].cb < iv[b].ce ? iv[b].cb : iv[b].ce;
     return ka < kb;
   });
+  thread_local URelax U;
+  U.relH.clear();
+  U.relD.clear();
+  U.memo.assign(N, {});
+  U.logpE.resize(N);
+  U.einit.assign(N, 0);
+  for (int i = 0; i < N; i++) {
+    if (iv[i].is_rel && asgn[i] == U_HAPLO) U.relH.push_back(i);
+    if (iv[i].is_rel && asgn[i] == U_DIPLO) U.relD.push_back(i);
+  }
   std::vector<bool> fixed(N);
   for (int i = 0; i < N; i++)
     fixed[i] = iv[i].is_rel && (asgn[i] == U_HAPLO || asgn[i] == U_DIPLO);
   for (int i = N - 1; i >= 0; i--)
-    if (!fixed[ord[i]]) u_update_state(G, iv, asgn, N, ord[i]);
+    if (!fixed[ord[i]]) u_update_state(G, iv, asgn, N, ord[i], U);
   for (int i = 0; i < N; i++)
-    if (!fixed[ord[i]]) u_update_state(G, iv, asgn, N, ord[i]);
+    if (!fixed[ord[i]]) u_update_state(G, iv, asgn, N, ord[i], U);
 }
 
 }  // namespace
