@@ -186,10 +186,18 @@ def cmd_classify(args: argparse.Namespace) -> int:
             stats["reads"] += 1
             yield rec
 
+    import contextlib
     import time as _time
 
+    prof_ctx = contextlib.nullcontext()
+    if getattr(args, "jax_profile", None):
+        import jax
+
+        prof_ctx = jax.profiler.trace(args.jax_profile)
+        print(f"writing xprof trace to {args.jax_profile}", file=sys.stderr)
     t0 = _time.time()
-    write_class(out, counted(recs))
+    with prof_ctx:
+        write_class(out, counted(recs))
     wall = _time.time() - t0
     if args.verbose:
         print(f"wrote {out}", file=sys.stderr)
@@ -308,6 +316,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "writes <out>.seeds (per-position labels) and "
                         "<out>.rep (repeat intervals per read)")
     c.add_argument("-v", "--verbose", action="store_true")
+    c.add_argument("--jax-profile", metavar="DIR",
+                   help="write a JAX profiler (xprof) trace of the "
+                        "classification stream to DIR (SURVEY §5 "
+                        "observability; view with tensorboard or xprof)")
     c.add_argument("--warmup", action="store_true",
                    help="pre-compile + first-execute the device programs "
                         "for the dataset's expected shape buckets before "

@@ -323,6 +323,44 @@ class ProfileIndex:
                 cap = n
         return decode_profile(self.raw(rid), max_len)
 
+    def fetch_batch(self, rids, plens) -> list:
+        """Decode many profiles in ONE native call (the per-read ctypes
+        round trip dominates fetch cost).  ``plens`` are the known
+        profile lengths (rlen - K + 1); falls back to per-read fetch
+        without the native library."""
+        if ProfileIndex._native is None:
+            self.fetch(rids[0] if len(rids) else 0)   # resolves _native
+        if not ProfileIndex._native or not len(rids):
+            return [self.fetch(r) for r in rids]
+        n = len(rids)
+        los = np.empty(n, np.int64)
+        his = np.empty(n, np.int64)
+        parts = [self._part_of(r) for r in rids]
+        if len(set(parts)) != 1:
+            return [self.fetch(r) for r in rids]      # rare: cross-part
+        data = self._data(parts[0])
+        for j, rid in enumerate(rids):
+            w = parts[j]
+            first = rid == 0 or (w > 0 and rid == self.nbase[w - 1])
+            los[j] = 0 if first else int(self.index[rid])
+            his[j] = int(self.index[rid + 1])
+        caps = np.asarray(plens, np.int32)
+        offs = np.zeros(n + 1, np.int64)
+        np.cumsum(caps, out=offs[1:])
+        cat = np.empty(int(offs[-1]), np.uint16)
+        out_n = np.empty(n, np.int32)
+        ProfileIndex._native.cp_decode_profile_batch(
+            data.ctypes.data, los.ctypes.data, his.ctypes.data, n,
+            cat.ctypes.data, offs.ctypes.data, caps.ctypes.data,
+            out_n.ctypes.data)
+        out = []
+        for j in range(n):
+            if out_n[j] != caps[j]:          # unexpected length: redo solo
+                out.append(self.fetch(rids[j]))
+            else:
+                out.append(cat[offs[j]: offs[j] + out_n[j]])
+        return out
+
     def __len__(self) -> int:
         return self.nreads
 

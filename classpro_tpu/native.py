@@ -126,6 +126,11 @@ def get_lib():
             ctypes.c_int, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int]
+        lib.cp_decode_profile_batch.restype = None
+        lib.cp_decode_profile_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p]
         lib.cp_seed_ws_new.restype = ctypes.c_void_p
         lib.cp_seed_ws_new.argtypes = []
         lib.cp_seed_ws_free.restype = None

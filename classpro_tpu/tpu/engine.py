@@ -492,19 +492,25 @@ def classify_file_tpu(fastx_path: str, fastk_root: str, coverage: int = 0,
 
     recs: list = []
 
+    K = gm.kmer
+
+    def flush(chunk, rid0):
+        recs.append(chunk)
+        plens = [max(len(r.seq) - K + 1, 0) for r in chunk]
+        profs = P.fetch_batch(list(range(rid0, rid0 + len(chunk))), plens)
+        return [r.seq for r in chunk], profs
+
     def chunk_iter():
         chunk: list = []
         rid = 0
         for rec in read_fastx(fastx_path):
-            chunk.append((rec, P.fetch(rid)))
+            chunk.append(rec)
             rid += 1
             if len(chunk) >= batch_size:
-                recs.append([r for r, _ in chunk])
-                yield ([r.seq for r, _ in chunk], [p for _, p in chunk])
+                yield flush(chunk, rid - len(chunk))
                 chunk = []
         if chunk:
-            recs.append([r for r, _ in chunk])
-            yield ([r.seq for r, _ in chunk], [p for _, p in chunk])
+            yield flush(chunk, rid - len(chunk))
 
     def stream():
         for classes in eng.classify_stream(chunk_iter()):

@@ -2094,3 +2094,21 @@ int cp_find_seeds(void* ws_ptr, const char* seq, const char* classes,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Batched profile decode: one call per chunk (the per-read Python/ctypes
+// round trip dominated ProfileIndex.fetch).  Each read i decodes
+// data[lo[i]:hi[i]] into out_cat[out_off[i]:out_off[i]+cap[i]]; the
+// true length is written to out_n[i] (caller guarantees cap >= plen).
+void cp_decode_profile_batch(const uint8_t* data, const int64_t* lo,
+                             const int64_t* hi, int n,
+                             uint16_t* out_cat, const int64_t* out_off,
+                             const int32_t* cap, int32_t* out_n) {
+  for (int i = 0; i < n; i++) {
+    out_n[i] = cp_decode_profile(data + lo[i], hi[i] - lo[i],
+                                 out_cat + out_off[i], cap[i]);
+  }
+}
+
+}  // extern "C"
