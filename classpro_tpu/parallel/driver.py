@@ -120,6 +120,14 @@ def run_process(source: str, fastk_root: str | None, out: str | None,
     shard = final + (f".{pid}" if nproc > 1 else "")
     recs: list = []
 
+    K = gm.kmer
+
+    def _flush(buf, rid0):
+        recs.append(buf)
+        plens = [max(len(r.seq) - K + 1, 0) for r in buf]
+        return ([r.seq for r in buf],
+                P.fetch_batch(list(range(rid0, rid0 + len(buf))), plens))
+
     def chunks():
         buf: list = []
         for rid, rec in enumerate(read_fastx(source)):
@@ -129,16 +137,10 @@ def run_process(source: str, fastk_root: str | None, out: str | None,
                 break
             buf.append(rec)
             if len(buf) >= batch_size:
-                recs.append(buf)
-                yield ([r.seq for r in buf],
-                       [P.fetch(i) for i in range(rid - len(buf) + 1,
-                                                  rid + 1)])
+                yield _flush(buf, rid - len(buf) + 1)
                 buf = []
         if buf:
-            recs.append(buf)
-            rid0 = end - len(buf)
-            yield ([r.seq for r in buf],
-                   [P.fetch(i) for i in range(rid0, end)])
+            yield _flush(buf, end - len(buf))
 
     with open(shard, "w") as f:
         for classes in eng.classify_stream(chunks()):

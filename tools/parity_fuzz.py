@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Randomized byte-identity fuzzer vs the reference binary (dev-time).
+
+Each seed builds a crafted-count-profile batch (random step/ramp/noise
+patterns with clustered error dips, random K in {16, 24, 32, 40}, random
+H/D coverage peaks — the branch_probe generator), runs the reference
+ClassPro and our production engine (CPU backend), and byte-compares the
+.class outputs.  Any DIFFERS is a real divergence of the class that
+found the XLA-division hdrr bug (COVERAGE.md).
+
+Usage: python3 tools/parity_fuzz.py [n_seeds] [seed0]
+"""
+
+from __future__ import annotations
+
+import filecmp
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from classpro_tpu.io.fastk import (histogram_from_counts, write_histogram,
+                                   write_profiles)
+from classpro_tpu.io.fastx import write_fasta
+
+import tools.branch_probe as bp
+
+
+def build(seed: int, outdir: str) -> int:
+    rng = np.random.default_rng(seed)
+    K = int(rng.choice([16, 24, 32, 40]))
+    bp.K = K  # the generator reads the module-level K for dip widths
+    hist_counts, reads = bp._random_batch(seed)
+    os.makedirs(outdir, exist_ok=True)
+    profiles, recs = [], []
+    for i, (counts, runs) in enumerate(reads):
+        counts = np.asarray(counts, np.uint16)
+        profiles.append(counts)
+        seq = bp._seq(rng, len(counts) + K - 1, runs)
+        recs.append((f"fuzz/{seed}/{i}", "", seq))
+    root = os.path.join(outdir, "reads")
+    write_fasta(root + ".fasta", recs)
+    write_profiles(root, profiles, K)
+    write_histogram(root, histogram_from_counts(K, hist_counts))
+    return K
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    seed0 = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_ENABLE_X64"] = "1"
+    bad = 0
+    for seed in range(seed0, seed0 + n):
+        d = f"/tmp/fuzz_{seed}"
+        shutil.rmtree(d, ignore_errors=True)
+        K = build(seed, d)
+        r = subprocess.run(["/tmp/refbuild/ClassPro", "-T1", f"-P{d}",
+                            "reads.fasta"], cwd=d, capture_output=True,
+                           text=True)
+        if r.returncode != 0:
+            print(f"seed {seed} (K={K}): reference failed "
+                  f"({r.stderr.strip()[-120:]})", flush=True)
+            shutil.rmtree(d, ignore_errors=True)
+            continue
+        r2 = subprocess.run(
+            [sys.executable, "-m", "classpro_tpu.cli", "classify",
+             f"{d}/reads.fasta", "-o", f"{d}/ours.class"],
+            env=env, capture_output=True, text=True, timeout=600)
+        if r2.returncode != 0:
+            print(f"seed {seed} (K={K}): OURS CRASHED: "
+                  f"{r2.stderr.strip()[-300:]}", flush=True)
+            bad += 1
+            continue
+        same = filecmp.cmp(f"{d}/reads.class", f"{d}/ours.class",
+                           shallow=False)
+        print(f"seed {seed} (K={K}): "
+              + ("IDENTICAL" if same else "*** DIFFERS ***"), flush=True)
+        if same:
+            shutil.rmtree(d, ignore_errors=True)
+        else:
+            bad += 1
+    print(f"{bad} divergent/crashed of {n}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
