@@ -81,3 +81,28 @@ def test_fastq_input_equals_fasta(tmp_path):
     assert len(back) == 40
     for a, b in zip(recs, back):
         assert (a.name, a.seq) == (b.name, b.seq)
+
+
+def test_fetch_batch_multi_part(tmp_path):
+    """fetch_batch == fetch across a 3-part profile set, including the
+    chunk that straddles part boundaries (falls back to per-read)."""
+    import numpy as np
+
+    from classpro_tpu.io.fastk import open_profiles, write_profiles
+
+    rng = np.random.default_rng(5)
+    profiles = [rng.integers(1, 200, rng.integers(50, 400)).astype(np.uint16)
+                for _ in range(23)]
+    write_profiles(str(tmp_path / "reads"), profiles, 40, nparts=3)
+    P = open_profiles(str(tmp_path / "reads"))
+    assert P.nreads == 23
+    rids = list(range(23))
+    got = P.fetch_batch(rids, [len(p) for p in profiles])
+    for rid, g in zip(rids, got):
+        assert np.array_equal(g, profiles[rid]), rid
+    # a window fully inside part 2
+    per = (23 + 2) // 3
+    rids2 = list(range(per, 2 * per))
+    got2 = P.fetch_batch(rids2, [len(profiles[r]) for r in rids2])
+    for rid, g in zip(rids2, got2):
+        assert np.array_equal(g, profiles[rid]), rid
