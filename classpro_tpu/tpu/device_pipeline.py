@@ -365,8 +365,7 @@ def _un_planes(U, PP: PipelineParams):
     return P13, packL, packR
 
 
-@functools.partial(jax.jit, static_argnames=("R", "max_m"))
-def rel_only_dev(fblob, iblob, PP: PipelineParams, R: int, max_m: int):
+def _rel_only_core(fblob, iblob, PP: PipelineParams, R: int, max_m: int):
     """Reliable-interval DP only (the production engine path: the
     branchy unreliable relaxation runs on the host in C++,
     csrc/classpro_host.cpp cp_unrel_batch).
@@ -416,6 +415,30 @@ def rel_only_dev(fblob, iblob, PP: PipelineParams, R: int, max_m: int):
         "fwd": jnp.concatenate([jnp.ones(R, bool), jnp.zeros(R, bool)]),
     }
     return _rel_pipeline(U, PP, 2 * R, max_m).astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("R", "max_m"))
+def rel_only_dev(fblob, iblob, PP: PipelineParams, R: int, max_m: int):
+    return _rel_only_core(fblob, iblob, PP, R, max_m)
+
+
+@functools.partial(jax.jit, static_argnames=("R", "max_m"))
+def rel_group_dev(fblobs, iblobs, PP: PipelineParams, R: int, max_m: int):
+    """G chunks' rel DP in ONE device program (lax.map over the chunk
+    axis, each iteration = _rel_only_core with its own dynamic trip).
+
+    Motivation (BASELINE_MEASURED round-2 root cause): this platform
+    pays a serialized ~26 ms tunnel round trip PER PROGRAM EXECUTION,
+    while the scan itself costs only ~90 us/step at production width —
+    and width scaling is superlinear, so stacking chunks as extra ROWS
+    does not amortize the RTT.  Running G chunks sequentially INSIDE one
+    program keeps the width constant and pays the RTT once per G.
+
+    fblobs (G, R*max_m) f64; iblobs (G, 4*R*max_m + 2R) int32.
+    Returns (G, 2R, max_m) int8."""
+    return jax.lax.map(
+        lambda fi: _rel_only_core(fi[0], fi[1], PP, R, max_m),
+        (fblobs, iblobs))
 
 
 @functools.partial(jax.jit,
