@@ -39,3 +39,49 @@ def test_branch_fixture_byte_identity(tmp_path, name):
     out = tmp_path / "ours.class"
     write_class(str(out), classify_file_tpu(str(fa), str(tmp_path / "reads")))
     assert out.read_text() == golden, name
+
+
+def test_zero_count_reads(tmp_path):
+    """Profiles with zero-count stretches (what FastK emits for k-mers
+    containing N) must classify without crashing, with production ==
+    oracle.  The REFERENCE segfaults on such input — load_emodel never
+    allocates cthres[l][0] and find_gain dereferences it when a pair
+    position has two adjacent zero counts (wall.c:128-133/365; see
+    COVERAGE.md "Upstream bugs").  Our defined extension: cthres row 0
+    is all zeros, so the SELF pair test rejects."""
+    import numpy as np
+
+    from classpro_tpu.estimation import build_global_model
+    from classpro_tpu.exact.pipeline import ReadClassifier
+    from classpro_tpu.io.fastk import (histogram_from_counts,
+                                       load_histogram, write_histogram,
+                                       write_profiles)
+    from classpro_tpu.io.fastx import write_fasta
+    from classpro_tpu.tpu.engine import TpuEngine
+
+    rng = np.random.default_rng(7)
+    K = 40
+    reads, profs = [], []
+    for i in range(4):
+        n = 600
+        c = np.full(n, 40, np.uint16)
+        seq = np.frombuffer(b"ACGT", np.uint8)[
+            rng.integers(0, 4, n + K - 1)].copy()
+        for at in (150, 400):
+            seq[at: at + 5] = ord("N")
+            c[max(0, at - K + 1): at + 5] = 0
+        reads.append((f"n/{i}", "", seq.tobytes().decode()))
+        profs.append(c)
+    hist = np.concatenate([rng.poisson(20, 15000), rng.poisson(40, 30000),
+                           rng.integers(1, 4, 20000)]).clip(1, 32767)
+    root = str(tmp_path / "reads")
+    write_fasta(root + ".fasta", reads)
+    write_profiles(root, profs, K)
+    write_histogram(root, histogram_from_counts(K, hist))
+
+    gm = build_global_model(load_histogram(root))
+    rc = ReadClassifier(gm)
+    eng = TpuEngine(gm)
+    got = eng.classify_chunk([r[2] for r in reads], profs)
+    for (name, _, seq), prof, g in zip(reads, profs, got):
+        assert g == rc.classify(seq, prof), name
