@@ -116,12 +116,32 @@ def _btg_row(n: int, erate: float) -> np.ndarray:
     return out
 
 
+_CONTENT_CACHE: dict = {}
+
+
 def build_tables(gm: GlobalModel, n_cap: int | None = None) -> DeviceTables:
     em = gm.emodel
     n_cap = n_cap or max(2 * gm.cmax + 2, 300)
     cached = getattr(gm, "_device_tables", None)
     if cached is not None and cached.n_cap == n_cap:
         return cached
+    # content-keyed process cache: every engine/CLI call builds a fresh
+    # GlobalModel for the same dataset, and the _btg_row precompute costs
+    # seconds — identical models must not pay it twice (measured 5.3 s
+    # per classify_file_tpu call before this cache)
+    import hashlib
+
+    key = (gm.kmer, tuple(int(c) for c in gm.cov), float(gm.dr_ratio),
+           int(gm.read_len), n_cap,
+           hashlib.sha1(np.ascontiguousarray(em.pe).tobytes()).hexdigest(),
+           hashlib.sha1(np.ascontiguousarray(em.cthres).tobytes()).hexdigest())
+    hit = _CONTENT_CACHE.get(key)
+    if hit is not None:
+        try:
+            object.__setattr__(gm, "_device_tables", hit)
+        except Exception:
+            pass
+        return hit
 
     rates: list[float] = []
 
@@ -155,4 +175,5 @@ def build_tables(gm: GlobalModel, n_cap: int | None = None) -> DeviceTables:
         object.__setattr__(gm, "_device_tables", dt)
     except Exception:
         pass
+    _CONTENT_CACHE[key] = dt
     return dt
