@@ -44,7 +44,7 @@ def _build() -> str:
     if not os.path.exists(src):
         raise FileNotFoundError(src)
     cmd = ["g++", "-O3", "-march=native", "-ffp-contract=off", "-pthread",
-           "-shared", "-fPIC", "-o", _SO, src, "-lm"]
+           "-shared", "-fPIC", "-o", _SO, src, "-lm", "-lz"]
     subprocess.run(cmd, check=True, capture_output=True)
     return _SO
 
@@ -130,6 +130,14 @@ def get_lib():
         lib.cp_decode_profile_batch.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p]
+        lib.cp_gzip_inflate.restype = ctypes.c_int64
+        lib.cp_gzip_inflate.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64]
+        lib.cp_fastx_parse.restype = ctypes.c_int64
+        lib.cp_fastx_parse.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p]
         lib.cp_seed_ws_new.restype = ctypes.c_void_p
         lib.cp_seed_ws_new.argtypes = []

@@ -63,7 +63,7 @@ def psum_histogram(mesh: Mesh, local_hist: np.ndarray) -> np.ndarray:
                                        in_sharding, _shard)
 
     try:
-        from jax.shard_map import shard_map          # jax >= 0.5
+        from jax import shard_map                    # jax >= 0.5
     except ImportError:                              # DeprecationWarning path
         from jax.experimental.shard_map import shard_map
 

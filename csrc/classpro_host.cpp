@@ -16,6 +16,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <zlib.h>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -2109,6 +2110,131 @@ void cp_decode_profile_batch(const uint8_t* data, const int64_t* lo,
     out_n[i] = cp_decode_profile(data + lo[i], hi[i] - lo[i],
                                  out_cat + out_off[i], cap[i]);
   }
+}
+
+// ---------------------------------------------------------------------
+// Native FASTA/FASTQ ingest (role of kseq.h in the reference,
+// ClassPro.c:181-188) — but whole-blob + GIL-free instead of a
+// line-buffered pull parser: on a 1-core host the Python reader's GIL
+// time competed with the engine's glue and halved e2e throughput.
+// ---------------------------------------------------------------------
+
+// Inflate a (possibly multi-member) gzip blob.  Returns the total
+// decompressed size; if it exceeds out_cap, inflation continues in
+// counting mode so the caller can retry with the returned size.
+// Returns -1 on corrupt input.
+int64_t cp_gzip_inflate(const uint8_t* in, int64_t in_len,
+                        uint8_t* out, int64_t out_cap) {
+  int64_t total = 0;
+  uint8_t scratch[1 << 16];
+  z_stream zs;
+  std::memset(&zs, 0, sizeof(zs));
+  if (inflateInit2(&zs, 16 + MAX_WBITS) != Z_OK) return -1;
+  zs.next_in = const_cast<uint8_t*>(in);
+  zs.avail_in = (uInt)in_len;
+  for (;;) {
+    if (total < out_cap) {
+      zs.next_out = out + total;
+      zs.avail_out = (uInt)std::min<int64_t>(out_cap - total, 1u << 30);
+    } else {
+      zs.next_out = scratch;
+      zs.avail_out = sizeof(scratch);
+    }
+    uInt before = zs.avail_out;
+    int rc = inflate(&zs, Z_NO_FLUSH);
+    total += before - zs.avail_out;
+    if (rc == Z_STREAM_END) {
+      if (zs.avail_in == 0) break;          // done
+      inflateReset2(&zs, 16 + MAX_WBITS);   // next gzip member
+    } else if (rc != Z_OK && rc != Z_BUF_ERROR) {
+      inflateEnd(&zs);
+      return -1;
+    } else if (rc == Z_BUF_ERROR && zs.avail_in == 0) {
+      break;                                // truncated trailing garbage
+    }
+  }
+  inflateEnd(&zs);
+  return total;
+}
+
+// Parse FASTA or FASTQ text in one pass.  Per record i, meta[8*i..8*i+7]
+// holds {name_off, name_len, comment_off, comment_len, seq_off, seq_len,
+// qual_off, qual_len}; name/comment offsets index into buf, seq AND qual
+// bytes are compacted into seq_out (qual_off = -1 for FASTA).  seq_out
+// needs at most `len` bytes.  Whitespace semantics match the Python
+// reader in io/fastx.py: header = first line minus trailing '\n', name =
+// first whitespace-run-delimited token, comment = remainder after the
+// run (trailing bytes incl. '\r' kept); sequence/quality lines are
+// stripped of ALL leading/trailing whitespace.  Returns the record
+// count, or -1 if buf starts with neither '>' nor '@'.
+int64_t cp_fastx_parse(const char* buf, int64_t len, int64_t max_rec,
+                       int64_t* meta, char* seq_out) {
+  const auto is_ws = [](char c) {
+    return c == ' ' || c == '\t' || c == '\n' || c == '\r' ||
+           c == '\v' || c == '\f';
+  };
+  // Line model matches Python's universal newlines (io/fastx.py opens
+  // through TextIOWrapper): '\n', '\r\n' and lone '\r' all terminate a
+  // line and are not part of it.
+  const auto line_end = [&](int64_t from, int64_t* next) {
+    int64_t e = from;
+    while (e < len && buf[e] != '\n' && buf[e] != '\r') e++;
+    *next = (e < len && buf[e] == '\r' && e + 1 < len && buf[e + 1] == '\n')
+                ? e + 2
+                : (e < len ? e + 1 : len);
+    return e;
+  };
+  int64_t pos = 0, nrec = 0, sp = 0;
+  if (len == 0) return 0;
+  const char mark = buf[0];
+  if (mark != '>' && mark != '@') return -1;
+  const bool fastq = (mark == '@');
+  while (pos < len && nrec < max_rec) {
+    // header line (pos at the mark byte)
+    int64_t h0 = pos + 1, hn;
+    int64_t he = line_end(h0, &hn);
+    int64_t n0 = h0;
+    while (n0 < he && is_ws(buf[n0])) n0++;
+    int64_t n1 = n0;
+    while (n1 < he && !is_ws(buf[n1])) n1++;
+    int64_t c0 = n1;
+    while (c0 < he && is_ws(buf[c0])) c0++;
+    int64_t* m = meta + 8 * nrec;
+    m[0] = n0; m[1] = n1 - n0;
+    m[2] = c0; m[3] = (c0 < he) ? he - c0 : 0;
+    pos = hn;
+    const int64_t s0 = sp;
+    if (!fastq) {
+      // sequence lines until next '>' or EOF
+      while (pos < len && buf[pos] != '>') {
+        int64_t a = pos;
+        int64_t b = line_end(pos, &pos);
+        while (a < b && is_ws(buf[a])) a++;
+        while (b > a && is_ws(buf[b - 1])) b--;
+        std::memcpy(seq_out + sp, buf + a, (size_t)(b - a));
+        sp += b - a;
+      }
+      m[4] = s0; m[5] = sp - s0;
+      m[6] = -1; m[7] = 0;
+    } else {
+      // exactly one sequence line, '+' line, one quality line
+      for (int part = 0; part < 3; part++) {
+        int64_t a = pos;
+        int64_t le = line_end(pos, &pos);
+        if (part != 1) {
+          int64_t b = le;
+          while (a < b && is_ws(buf[a])) a++;
+          while (b > a && is_ws(buf[b - 1])) b--;
+          std::memcpy(seq_out + sp, buf + a, (size_t)(b - a));
+          if (part == 0) { m[4] = s0; m[5] = (b - a); }
+          else           { m[6] = sp; m[7] = (b - a); }
+          sp += b - a;
+        }
+      }
+    }
+    nrec++;
+  }
+  return nrec;
 }
 
 }  // extern "C"

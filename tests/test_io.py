@@ -106,3 +106,64 @@ def test_fetch_batch_multi_part(tmp_path):
     got2 = P.fetch_batch(rids2, [len(profiles[r]) for r in rids2])
     for rid, g in zip(rids2, got2):
         assert np.array_equal(g, profiles[rid]), rid
+
+
+# ---------------------------------------------------------------------
+# Native fastx parser (cp_gzip_inflate + cp_fastx_parse) vs the pure-
+# Python reader, which is the semantic spec (universal newlines,
+# whitespace handling, header split).
+# ---------------------------------------------------------------------
+
+_FASTX_CASES = {
+    "plain.fa": b">r1 a comment here\nACGT\nTTGG\n>r2\nAC\n>r3 x\n\nGG\n",
+    "crlf.fa": b">r1 com\r\nACG\r\nT\r\n>r2\r\nAA\r\n",
+    "lonecr.fa": b">r1 c\rACGT\rGG\r>r2\rAA\r",
+    "fq.fq": b"@q1 c1\nACGT\n+\nIIII\n@q2\nGG\n+x\nII\n",
+    "fq_crlf.fq": b"@q1 c1\r\nACGT\r\n+\r\nIIII\r\n",
+    "ws.fa": b">  r1   spaced  comment \n  ACG T \nGG\n",
+    "empty.fa": b"",
+    "noeol.fa": b">r1\nACGT",
+    "fq_noeol.fq": b"@q1\nAC\n+\nII",
+    "nameless.fa": b"> only comment\nAC\n",
+}
+
+
+@pytest.mark.parametrize("name", sorted(_FASTX_CASES))
+def test_fastx_native_matches_python(tmp_path, name, monkeypatch):
+    import classpro_tpu.io.fastx as FX
+
+    data = _FASTX_CASES[name]
+    p = tmp_path / name
+    p.write_bytes(data)
+    pg = tmp_path / (name + ".gz")
+    pg.write_bytes(gzip.compress(data))
+
+    native = list(FX.read_fastx(str(p)))
+    native_gz = list(FX.read_fastx(str(pg)))
+    monkeypatch.setattr(FX, "_read_fastx_native", lambda _: None)
+    py = list(FX.read_fastx(str(p)))
+    py_gz = list(FX.read_fastx(str(pg)))
+    assert native == py
+    assert native_gz == py_gz
+
+
+def test_fastx_native_multimember_and_errors(tmp_path, monkeypatch):
+    import classpro_tpu.io.fastx as FX
+
+    mm = tmp_path / "mm.fa.gz"
+    mm.write_bytes(gzip.compress(b">r1\nAC\n") + gzip.compress(b">r2\nGT\n"))
+    assert [r.name for r in FX.read_fastx(str(mm))] == ["r1", "r2"]
+
+    bad = tmp_path / "bad.txt"
+    bad.write_bytes(b"hello\n")
+    with pytest.raises(ValueError):
+        list(FX.read_fastx(str(bad)))
+
+
+def test_fastx_native_on_fixture(monkeypatch):
+    import classpro_tpu.io.fastx as FX
+
+    p = str(FIX / "medium" / "reads.fasta.gz")
+    native = list(FX.read_fastx(p))
+    monkeypatch.setattr(FX, "_read_fastx_native", lambda _: None)
+    assert list(FX.read_fastx(p)) == native
