@@ -290,6 +290,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="classpro-tpu",
                                  description=__doc__,
                                  formatter_class=argparse.RawDescriptionHelpFormatter)
+    ap.add_argument("--platform", choices=["tpu", "cpu"],
+                    help="force the JAX backend.  'cpu' runs the same "
+                    "pipeline on host XLA — use it when no TPU is "
+                    "reachable (the tunneled TPU plugin can otherwise "
+                    "block for many minutes before failing)")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     c = sub.add_parser("classify", help="classify every k-mer of every read")
@@ -406,6 +411,20 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.platform == "cpu" and os.environ.get("PALLAS_AXON_POOL_IPS"):
+        # The TPU-tunnel plugin installs itself from sitecustomize at
+        # interpreter startup (keyed on PALLAS_AXON_POOL_IPS) and
+        # overrides JAX's backend selection, so mutating the env here
+        # is too late — re-exec with a scrubbed environment instead.
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        os.execve(sys.executable,
+                  [sys.executable, "-m", "classpro_tpu.cli"]
+                  + (sys.argv[1:] if argv is None else list(argv)), env)
+    elif args.platform:
+        os.environ["JAX_PLATFORMS"] = (
+            "axon" if args.platform == "tpu" else "cpu")
     return args.fn(args)
 
 

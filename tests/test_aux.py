@@ -64,3 +64,26 @@ def test_phase_timer_reports():
     r = t.report()
     assert "user" in r and "wall" in r and "max rss" in r
     assert "Total" in t.report(total=True)
+
+
+def test_cli_platform_cpu_reexecs_scrubbed_env(monkeypatch):
+    """--platform cpu must re-exec with the tunnel env removed (the
+    TPU plugin installs itself from sitecustomize before main runs)."""
+    import classpro_tpu.cli as cli
+
+    calls = {}
+
+    def fake_execve(exe, argv, env):
+        calls["argv"] = argv
+        calls["env"] = env
+        raise SystemExit(0)          # stop main here, like a real exec
+
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "10.0.0.1")
+    monkeypatch.setattr(cli.os, "execve", fake_execve)
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        cli.main(["--platform", "cpu", "classify", "does-not-matter"])
+    assert "PALLAS_AXON_POOL_IPS" not in calls["env"]
+    assert calls["env"]["JAX_PLATFORMS"] == "cpu"
+    assert "--platform" in calls["argv"] and "cpu" in calls["argv"]
