@@ -423,6 +423,22 @@ def rel_only_dev(fblob, iblob, PP: PipelineParams, R: int, max_m: int):
 
 
 @functools.partial(jax.jit, static_argnames=("R", "max_m"))
+def rel_pair_dev(fb1, ib1, fb2, ib2, PP: PipelineParams,
+                 R: int, max_m: int):
+    """Two chunks' rel DPs UNROLLED sequentially in one program (width
+    unchanged; one fixed launch cost for two scans).
+
+    Distinct from rel_group_dev's lax.map (measured dead: G=3 cost
+    3x the single-chunk time) — here the two dynamic-trip while_loops
+    are separate HLO ops compiled back to back, so each runs with the
+    same lowering as the production single-chunk program.  Whether the
+    platform's ~26 ms fixed execution cost is paid once per program or
+    once per while_loop decides if this wins (tools/device_probe.py)."""
+    return (_rel_only_core(fb1, ib1, PP, R, max_m),
+            _rel_only_core(fb2, ib2, PP, R, max_m))
+
+
+@functools.partial(jax.jit, static_argnames=("R", "max_m"))
 def rel_group_dev(fblobs, iblobs, PP: PipelineParams, R: int, max_m: int):
     """G chunks' rel DP in ONE device program (lax.map over the chunk
     axis, each iteration = _rel_only_core with its own dynamic trip).
