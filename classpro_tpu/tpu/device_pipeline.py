@@ -423,19 +423,25 @@ def rel_only_dev(fblob, iblob, PP: PipelineParams, R: int, max_m: int):
 
 
 @functools.partial(jax.jit, static_argnames=("R", "max_m"))
-def rel_pair_dev(fb1, ib1, fb2, ib2, PP: PipelineParams,
-                 R: int, max_m: int):
-    """Two chunks' rel DPs UNROLLED sequentially in one program (width
-    unchanged; one fixed launch cost for two scans).
+def rel_multi_dev(fbs, ibs, PP: PipelineParams, R: int, max_m: int):
+    """G chunks' rel DPs UNROLLED sequentially in one program (width
+    unchanged; one fixed launch cost for G scans).  ``fbs``/``ibs`` are
+    tuples of per-chunk blobs — the tuple length is static under jit.
 
     Distinct from rel_group_dev's lax.map (measured dead: G=3 cost
-    3x the single-chunk time) — here the two dynamic-trip while_loops
+    3x the single-chunk time) — here the G dynamic-trip while_loops
     are separate HLO ops compiled back to back, so each runs with the
     same lowering as the production single-chunk program.  Whether the
     platform's ~26 ms fixed execution cost is paid once per program or
     once per while_loop decides if this wins (tools/device_probe.py)."""
-    return (_rel_only_core(fb1, ib1, PP, R, max_m),
-            _rel_only_core(fb2, ib2, PP, R, max_m))
+    return tuple(_rel_only_core(fb, ib, PP, R, max_m)
+                 for fb, ib in zip(fbs, ibs))
+
+
+def rel_pair_dev(fb1, ib1, fb2, ib2, PP: PipelineParams,
+                 R: int, max_m: int):
+    """Two-chunk convenience wrapper over rel_multi_dev."""
+    return rel_multi_dev((fb1, fb2), (ib1, ib2), PP, R=R, max_m=max_m)
 
 
 @functools.partial(jax.jit, static_argnames=("R", "max_m"))

@@ -251,10 +251,14 @@ class TpuEngine:
     # batch_size default 200 = the measured-optimal production chunk
     # (bench.py sweep: 160 worse, 240 noise-equal, 512 slower)
     def __init__(self, gm: GlobalModel, batch_size: int = 200,
-                 threads: int = 0):
+                 threads: int = 0, group: int = 1):
         self.gm = gm
         self.batch_size = batch_size
         self.threads = threads      # host-side C++ worker count (-T)
+        # group > 1: dispatch G chunks' rel DPs as ONE device program
+        # (rel_multi_dev) to amortize the platform's fixed per-execution
+        # cost — see tools/device_probe.py before enabling
+        self.group = max(1, group)
         self.wall = make_wall_stage(gm)
         self.pp = build_pipeline_params(gm)
         self._exec_cache: dict = {}
@@ -310,6 +314,9 @@ class TpuEngine:
         in order, with cross-chunk host/device overlap."""
         import collections
 
+        if self.group > 1:
+            yield from self._classify_stream_grouped(chunks)
+            return
         pending: collections.deque = collections.deque()
         for seqs, profiles in chunks:
             pending.append(self._submit(seqs, profiles))
@@ -318,12 +325,36 @@ class TpuEngine:
         while pending:
             yield self._finish(pending.popleft())
 
-    def _submit(self, seqs, profiles):
-        """Wall stage + rel pack (both C++) + async device dispatch for
-        one chunk; the result transfer starts immediately on a fetch
-        thread."""
-        import threading
+    def _classify_stream_grouped(self, chunks):
+        """Grouped streaming: wall-stage each chunk as it arrives, then
+        dispatch G chunks' rel DPs as ONE device program
+        (rel_multi_dev), keeping one group in flight while the previous
+        group finishes (host relaxation) and the next stages."""
+        import collections
 
+        pending: collections.deque = collections.deque()
+        buf: list = []
+
+        def flush():
+            devs = [st for st in buf if "_plens" in st]
+            if devs:
+                self._dispatch_multi(devs)
+            pending.extend(buf)
+            buf.clear()
+
+        for seqs, profiles in chunks:
+            buf.append(self._stage(seqs, profiles))
+            if len(buf) >= self.group:
+                flush()
+                while len(pending) > self.group:
+                    yield self._finish(pending.popleft())
+        flush()
+        while pending:
+            yield self._finish(pending.popleft())
+
+    def _stage(self, seqs, profiles):
+        """Wall stage (C++) for one chunk; bucket sizing recorded for a
+        later pack+dispatch (no device work yet)."""
         todo = [i for i in range(len(seqs)) if len(profiles[i]) > 0]
         st = {"seqs": seqs, "profiles": profiles, "todo": todo}
         if not todo or not hasattr(self.wall, "wall_stage_slab"):
@@ -336,18 +367,34 @@ class TpuEngine:
                   max_m=0)
         sel_n = int((n_rel > 0).sum())
         if sel_n:
-            plens = np.array([len(profiles[i]) for i in g], np.int64)
-            R = _bucket(sel_n)
-            max_m = _bucket_m(int(n_rel.max()))
-            fb, ib = self.wall.pack_rel(slab, slot, n_out, n_rel, plens,
-                                        R, max_m)
-            out = self._rel_exec(R, max_m)(fb, ib)
-            st["max_m"] = max_m
-            # rel-interval counts for the host-side fw/bw reconciliation
-            sz = R * max_m
-            st["rel_ccb"] = ib[2 * sz:3 * sz].reshape(R, max_m)
-            st["rel_cce"] = ib[3 * sz:4 * sz].reshape(R, max_m)
-            st["rel_m"] = ib[4 * sz:4 * sz + R]
+            st["_plens"] = np.array([len(profiles[i]) for i in g],
+                                    np.int64)
+            st["_R"] = _bucket(sel_n)
+            st["_mm"] = _bucket_m(int(n_rel.max()))
+        return st
+
+    def _pack_st(self, st, R: int, max_m: int):
+        """C++ rel pack for a staged chunk at the given bucket; records
+        the views the host-side fw/bw reconciliation needs."""
+        fb, ib = self.wall.pack_rel(st["slab"], st["slot"], st["n_out"],
+                                    st["n_rel"], st["_plens"], R, max_m)
+        st["max_m"] = max_m
+        sz = R * max_m
+        st["rel_ccb"] = ib[2 * sz:3 * sz].reshape(R, max_m)
+        st["rel_cce"] = ib[3 * sz:4 * sz].reshape(R, max_m)
+        st["rel_m"] = ib[4 * sz:4 * sz + R]
+        return fb, ib
+
+    def _submit(self, seqs, profiles):
+        """Wall stage + rel pack (both C++) + async device dispatch for
+        one chunk; the result transfer starts immediately on a fetch
+        thread."""
+        import threading
+
+        st = self._stage(seqs, profiles)
+        if "_plens" in st:
+            fb, ib = self._pack_st(st, st["_R"], st["_mm"])
+            out = self._rel_exec(st["_R"], st["_mm"])(fb, ib)
             box = {}
 
             def fetch():
@@ -360,6 +407,51 @@ class TpuEngine:
             th.start()
             st["box"], st["thread"] = box, th
         return st
+
+    def _rel_multi_exec(self, G: int, R: int, max_m: int):
+        """AOT-compiled G-chunk program (rel_multi_dev) per bucket."""
+        key = (G, R, max_m)
+        ex = self._exec_cache.get(key)
+        if ex is None:
+            import jax.numpy as jnp
+
+            from classpro_tpu.tpu.device_pipeline import rel_multi_dev
+
+            fb_s = jax.ShapeDtypeStruct((R * max_m,), jnp.float64)
+            ib_s = jax.ShapeDtypeStruct((4 * R * max_m + 2 * R,),
+                                        jnp.int32)
+            aot = jax.jit(
+                rel_multi_dev, static_argnames=("R", "max_m")
+            ).lower((fb_s,) * G, (ib_s,) * G, self.pp,
+                    R=R, max_m=max_m).compile()
+            ex = lambda fbs, ibs: aot(fbs, ibs, self.pp)
+            self._exec_cache[key] = ex
+        return ex
+
+    def _dispatch_multi(self, sts) -> None:
+        """Pack each staged chunk at the group's common bucket and
+        dispatch ONE device program for all of them; a single fetch
+        thread distributes the per-chunk results."""
+        import threading
+
+        R = max(st["_R"] for st in sts)
+        max_m = max(st["_mm"] for st in sts)
+        blobs = [self._pack_st(st, R, max_m) for st in sts]
+        outs = self._rel_multi_exec(len(sts), R, max_m)(
+            tuple(fb for fb, _ in blobs), tuple(ib for _, ib in blobs))
+        boxes = [{} for _ in sts]
+
+        def fetch():
+            for bx, o in zip(boxes, outs):
+                try:
+                    bx["v"] = np.ascontiguousarray(np.asarray(o))
+                except BaseException as e:   # surfaced at _finish
+                    bx["err"] = e
+
+        th = threading.Thread(target=fetch, daemon=True)
+        th.start()
+        for st, bx in zip(sts, boxes):
+            st["box"], st["thread"] = bx, th
 
     def _finish(self, st) -> list[str]:
         """Join the fetch, then ONE C++ call: scatter rel assignments,

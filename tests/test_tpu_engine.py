@@ -319,3 +319,32 @@ def test_rel_pair_dev_matches_two_singles():
     p1, p2 = rel_pair_dev(fb1, ib1, fb2, ib2, eng.pp, R=R, max_m=max_m)
     assert np.array_equal(np.asarray(p1), w1)
     assert np.array_equal(np.asarray(p2), w2)
+
+
+def test_grouped_stream_matches_ungrouped():
+    """classify_stream with group>1 (one rel_multi_dev program per G
+    chunks) yields exactly the default path's outputs, including a
+    trailing partial group and chunks with no reliable intervals."""
+    from classpro_tpu.estimation import build_global_model
+    from classpro_tpu.io.fastk import load_histogram, open_profiles
+    from classpro_tpu.io.fastx import read_fastx
+    from classpro_tpu.tpu.engine import TpuEngine
+
+    gm = build_global_model(load_histogram(str(FIX / "tiny" / "reads")))
+    P = open_profiles(str(FIX / "tiny" / "reads"))
+    reads = list(read_fastx(str(FIX / "tiny" / "reads.fasta.gz")))[:50]
+    seqs = [r.seq for r in reads]
+    profs = [P.fetch(i) for i in range(50)]
+    profs[3] = np.zeros(0, np.uint16)        # a read with no profile
+    B = 10                                   # 5 chunks
+
+    def run(eng):
+        chunks = ((seqs[i:i + B], profs[i:i + B])
+                  for i in range(0, 50, B))
+        return [c for out in eng.classify_stream(chunks) for c in out]
+
+    want = run(TpuEngine(gm, batch_size=B))
+    got2 = run(TpuEngine(gm, batch_size=B, group=2))   # 2+2+partial
+    got3 = run(TpuEngine(gm, batch_size=B, group=3))   # 3+partial 2
+    assert got2 == want
+    assert got3 == want
