@@ -151,7 +151,8 @@ def cmd_classify(args: argparse.Namespace) -> int:
         recs = classify_file_tpu(args.source, fk_root, coverage=args.coverage,
                                  read_len=args.read_len, model_path=args.model,
                                  threads=args.threads, verbose=args.verbose,
-                                 warmup=args.warmup)
+                                 warmup=args.warmup,
+                                 group=getattr(args, "group", 1))
     if args.seeds:
         from classpro_tpu.io.fastk import open_profiles
 
@@ -325,6 +326,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write a JAX profiler (xprof) trace of the "
                         "classification stream to DIR (SURVEY §5 "
                         "observability; view with tensorboard or xprof)")
+    c.add_argument("--group", type=int, default=1, metavar="G",
+                   help="dispatch G chunks' reliable-interval DPs as one "
+                        "device program (amortizes fixed per-execution "
+                        "launch cost on high-latency links; see "
+                        "tools/device_probe.py)")
     c.add_argument("--warmup", action="store_true",
                    help="pre-compile + first-execute the device programs "
                         "for the dataset's expected shape buckets before "

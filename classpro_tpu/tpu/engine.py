@@ -294,6 +294,11 @@ class TpuEngine:
         for R, max_m in shapes:
             fb = np.full(R * max_m, NEG_INF)
             ib = np.ones(4 * R * max_m + 2 * R, np.int32)
+            if self.group > 1:
+                outs = self._rel_multi_exec(self.group, R, max_m)(
+                    (fb,) * self.group, (ib,) * self.group)
+                for o in outs:
+                    np.asarray(o)
             np.asarray(self._rel_exec(R, max_m)(fb, ib))
 
     # ------------------------------------------------------------------
@@ -560,15 +565,16 @@ class TpuEngine:
 def classify_file_tpu(fastx_path: str, fastk_root: str, coverage: int = 0,
                       read_len: int = 20000, model_path: str | None = None,
                       batch_size: int = 200, threads: int = 0,
-                      verbose: bool = False,
-                      warmup: bool = False) -> Iterator[ClassRecord]:
+                      verbose: bool = False, warmup: bool = False,
+                      group: int = 1) -> Iterator[ClassRecord]:
     # setup (model build + optional device warmup) runs EAGERLY at call
     # time — the streaming body is the inner generator
     hist = load_histogram(fastk_root)
     gm = build_global_model(hist, coverage=coverage, read_len=read_len,
                             model_path=model_path)
     P = open_profiles(fastk_root)
-    eng = TpuEngine(gm, batch_size=batch_size, threads=threads)
+    eng = TpuEngine(gm, batch_size=batch_size, threads=threads,
+                    group=group)
     if warmup:
         # expected (R, max_m) ladder for this batch size: R = bucketed
         # batch, max_m from the coarse ladder's low rungs (dataset-
