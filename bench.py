@@ -29,13 +29,45 @@ record itself (full-coverage equivalents live in tests/).
 from __future__ import annotations
 
 import json
+import os
 import pathlib
+import subprocess
 import sys
 import time
 
 BASELINE_KMERS_PER_SEC = 4.24e6  # reference ClassPro -T1, this machine
 
+
+def _tpu_preflight() -> None:
+    """A down axon tunnel HANGS jax backend init for ~20 minutes
+    (CLAUDE.md); probe device init in a bounded subprocess and fall back
+    to the CPU backend (scrubbed env re-exec, same trick as the CLI's
+    --platform cpu) so the bench always emits its JSON line.  The
+    fallback is flagged in the output ("platform": "cpu-fallback") —
+    its number is NOT the TPU headline."""
+    if os.environ.get("_CLASSPRO_BENCH_CHILD"):
+        return
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=180, capture_output=True)
+        if r.returncode == 0:
+            return
+    except subprocess.TimeoutExpired:
+        pass
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["_CLASSPRO_BENCH_CHILD"] = "cpu-fallback"
+    print("bench: TPU tunnel unreachable; falling back to the CPU "
+          "backend (flagged in the JSON)", file=sys.stderr)
+    os.execve(sys.executable, [sys.executable, __file__], env)
+
+
 def main() -> None:
+    _tpu_preflight()
     root = pathlib.Path(__file__).parent
     fx = root / "tests" / "fixtures" / "medium"
 
@@ -118,7 +150,7 @@ def main() -> None:
     e2e_rates = sorted(run_e2e() for _ in range(5))
     e2e = e2e_rates[len(e2e_rates) // 2]
 
-    print(json.dumps({
+    rec = {
         "metric": "kmers_classified_per_sec",
         "value": round(value),
         "unit": "kmers/s",
@@ -126,7 +158,10 @@ def main() -> None:
         "e2e": round(e2e),
         "e2e_vs_baseline": round(e2e / BASELINE_KMERS_PER_SEC, 3),
         "parity_ok": bool(parity_ok),
-    }))
+    }
+    if os.environ.get("_CLASSPRO_BENCH_CHILD"):
+        rec["platform"] = os.environ["_CLASSPRO_BENCH_CHILD"]
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
