@@ -337,7 +337,17 @@ class ProfileIndex:
         his = np.empty(n, np.int64)
         parts = [self._part_of(r) for r in rids]
         if len(set(parts)) != 1:
-            return [self.fetch(r) for r in rids]      # rare: cross-part
+            # chunk straddles a part boundary: split into maximal
+            # same-part runs, one native batch call per run
+            out = []
+            i = 0
+            while i < n:
+                j = i
+                while j < n and parts[j] == parts[i]:
+                    j += 1
+                out.extend(self.fetch_batch(rids[i:j], plens[i:j]))
+                i = j
+            return out
         data = self._data(parts[0])
         for j, rid in enumerate(rids):
             w = parts[j]

@@ -85,7 +85,7 @@ def test_fastq_input_equals_fasta(tmp_path):
 
 def test_fetch_batch_multi_part(tmp_path):
     """fetch_batch == fetch across a 3-part profile set, including the
-    chunk that straddles part boundaries (falls back to per-read)."""
+    chunk that straddles part boundaries (split into per-part runs)."""
     import numpy as np
 
     from classpro_tpu.io.fastk import open_profiles, write_profiles
