@@ -122,12 +122,13 @@ def main() -> None:
 
     # ---- end-to-end mode: file parse + profile decode inside the timed
     # window, warm process (VERDICT r1 item 4) --------------------------
-    def run_e2e() -> float:
-        B = eng.batch_size
-        K = gm.kmer
-        Pe = open_profiles(str(fx / "reads"))
+    B = eng.batch_size
+    K = gm.kmer
+    Pe = open_profiles(str(fx / "reads"))  # index in RAM = warm process
 
-        def chunks():
+    def e2e_chunks(reps: int):
+        # every pass re-parses the FASTA and re-decodes the profiles
+        for _ in range(reps):
             buf, rid = [], 0
             for rec in read_fastx(str(fx / "reads.fasta.gz")):
                 buf.append(rec.seq)
@@ -142,12 +143,17 @@ def main() -> None:
                 yield buf, Pe.fetch_batch(
                     list(range(rid - len(buf), rid)), plens)
 
+    def run_e2e(reps: int) -> float:
         t0 = time.time()
-        for _ in eng.classify_stream(chunks()):
+        for _ in eng.classify_stream(e2e_chunks(reps)):
             pass
-        return total_kmers / (time.time() - t0)
+        return reps * total_kmers / (time.time() - t0)
 
-    e2e_rates = sorted(run_e2e() for _ in range(5))
+    # size each timed window to ~4s of continuous e2e stream, median
+    # of 5 (same protocol as the steady-state number above)
+    est_rate = run_e2e(1)
+    e2e_reps = max(2, int(round(4.0 * est_rate / total_kmers)))
+    e2e_rates = sorted(run_e2e(e2e_reps) for _ in range(5))
     e2e = e2e_rates[len(e2e_rates) // 2]
 
     rec = {

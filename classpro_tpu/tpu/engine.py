@@ -109,6 +109,39 @@ class _PyWall:
         return arr, len(rel)
 
 
+def _prefetch_iter(chunks, depth: int):
+    """Re-yield ``chunks`` produced on a background thread through a
+    bounded queue (order preserved; generator exceptions re-raised at
+    the consumer).  The producer runs the caller's generator body, so
+    input production (file parse, profile decode) overlaps the
+    consumer's host stages and device waits.  If the consumer abandons
+    the iterator early the daemon producer parks on a full queue — one
+    buffered chunk is retained until process exit (streaming callers
+    consume to completion)."""
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def produce():
+        try:
+            for c in chunks:
+                q.put(c)
+            q.put(_END)
+        except BaseException as e:  # re-raised below, in order
+            q.put(e)
+
+    threading.Thread(target=produce, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def _fetch_flat(arrays) -> np.ndarray:
     """Bring several device arrays back in ONE transfer (each separate
     synchronisation costs a ~30ms round trip on this platform)."""
@@ -314,11 +347,20 @@ class TpuEngine:
     # device wait all release the GIL, so a depth-3 software pipeline
     # with background fetch threads keeps host and device both busy.
     # ------------------------------------------------------------------
-    def classify_stream(self, chunks):
+    def classify_stream(self, chunks, prefetch: int = 2):
         """Yield one list of class strings per (seqs, profiles) chunk,
-        in order, with cross-chunk host/device overlap."""
+        in order, with cross-chunk host/device overlap.
+
+        ``prefetch`` > 0 pulls the input iterable on a bounded
+        background thread: in end-to-end use the chunk generator does
+        real work (native FASTA parse + FASTK profile decode, both
+        GIL-releasing), which would otherwise serialize with the host
+        stages and the device round trip (measured ~34 ms per 4M-kmer
+        pass on the medium fixture)."""
         import collections
 
+        if prefetch > 0:
+            chunks = _prefetch_iter(chunks, prefetch)
         if self.group > 1:
             yield from self._classify_stream_grouped(chunks)
             return
