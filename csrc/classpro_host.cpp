@@ -17,6 +17,9 @@
 #include <algorithm>
 #include <atomic>
 #include <zlib.h>
+#ifdef CP_HAVE_LIBDEFLATE
+#include <libdeflate.h>
+#endif
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -1320,6 +1323,35 @@ int cp_decode_profile(const uint8_t* buf, int64_t len, uint16_t* out,
   int n = 0;
   if (n < out_cap) out[n] = d;
   n++;
+  // fast loop: one input byte expands to at most 63 outputs (run max
+  // 0x3f), so while n+64 fits in out_cap no per-element bound checks
+  // are needed and a run can be filled with unconditional full-width
+  // stores (the tail beyond x is overwritten by later outputs)
+  while (p < len && n + 64 <= out_cap) {
+    x = buf[p++];
+    if ((x & 0xc0) == 0) {
+#if defined(__AVX2__)
+      __m256i vd = _mm256_set1_epi16((short)d);
+      _mm256_storeu_si256((__m256i*)(out + n), vd);
+      _mm256_storeu_si256((__m256i*)(out + n + 16), vd);
+      _mm256_storeu_si256((__m256i*)(out + n + 32), vd);
+      _mm256_storeu_si256((__m256i*)(out + n + 48), vd);
+#else
+      std::fill_n(out + n, x, d);
+#endif
+      n += x;
+    } else if (x & 0x80) {
+      uint16_t v;
+      if (x & 0x40) v = (uint16_t)((x << 8) | buf[p++]);
+      else v = (uint16_t)((((x << 8) & 0x7fff)) | buf[p++]);
+      d = (uint16_t)((d + v) & 0x7fff);
+      out[n++] = d;
+    } else {
+      if (x & 0x20) d = (uint16_t)(d + ((x & 0x1f) | 0xffe0));
+      else d = (uint16_t)(d + (x & 0x1f));
+      out[n++] = d;
+    }
+  }
   while (p < len) {
     x = buf[p++];
     if ((x & 0xc0) == 0) {
@@ -2125,6 +2157,27 @@ void cp_decode_profile_batch(const uint8_t* data, const int64_t* lo,
 // Returns -1 on corrupt input.
 int64_t cp_gzip_inflate(const uint8_t* in, int64_t in_len,
                         uint8_t* out, int64_t out_cap) {
+#ifdef CP_HAVE_LIBDEFLATE
+  // Fast path: libdeflate's gzip decode is ~2-3x zlib's.  Any outcome
+  // other than a clean full decode (capacity short, trailing garbage,
+  // corrupt member) falls through to the zlib path below, which is the
+  // semantic contract (counting-mode retry sizes, garbage tolerance).
+  if (struct libdeflate_decompressor* d = libdeflate_alloc_decompressor()) {
+    int64_t total = 0, in_pos = 0;
+    bool clean = true;
+    while (in_pos < in_len) {
+      size_t a_in = 0, a_out = 0;
+      enum libdeflate_result r = libdeflate_gzip_decompress_ex(
+          d, in + in_pos, (size_t)(in_len - in_pos), out + total,
+          (size_t)(out_cap > total ? out_cap - total : 0), &a_in, &a_out);
+      if (r != LIBDEFLATE_SUCCESS || a_in == 0) { clean = false; break; }
+      total += (int64_t)a_out;
+      in_pos += (int64_t)a_in;
+    }
+    libdeflate_free_decompressor(d);
+    if (clean) return total;
+  }
+#endif
   int64_t total = 0;
   uint8_t scratch[1 << 16];
   z_stream zs;
@@ -2176,7 +2229,16 @@ int64_t cp_fastx_parse(const char* buf, int64_t len, int64_t max_rec,
   // Line model matches Python's universal newlines (io/fastx.py opens
   // through TextIOWrapper): '\n', '\r\n' and lone '\r' all terminate a
   // line and are not part of it.
+  // no-CR fast path: one whole-buffer memchr, then every line scan is a
+  // single SIMD memchr('\n') instead of a byte loop
+  const bool has_cr = len > 0 && std::memchr(buf, '\r', (size_t)len);
   const auto line_end = [&](int64_t from, int64_t* next) {
+    if (!has_cr) {
+      const void* q = std::memchr(buf + from, '\n', (size_t)(len - from));
+      int64_t e = q ? (int64_t)((const char*)q - buf) : len;
+      *next = e < len ? e + 1 : len;
+      return e;
+    }
     int64_t e = from;
     while (e < len && buf[e] != '\n' && buf[e] != '\r') e++;
     *next = (e < len && buf[e] == '\r' && e + 1 < len && buf[e + 1] == '\n')

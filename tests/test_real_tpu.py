@@ -33,6 +33,8 @@ def test_real_tpu_byte_identity(tmp_path):
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)          # let the axon TPU register
     env.pop("XLA_FLAGS", None)
+    if "CLASSPRO_SAVED_POOL_IPS" in env:    # undo conftest's scrub
+        env["PALLAS_AXON_POOL_IPS"] = env.pop("CLASSPRO_SAVED_POOL_IPS")
     repo = str(pathlib.Path(__file__).resolve().parent.parent)
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     out = tmp_path / "ours.class"
