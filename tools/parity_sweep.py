@@ -12,6 +12,13 @@ Round-1 result (2026-08-16, tunneled TPU v5e):
   cov=40 glen=80000 seed=13: IDENTICAL (322 reads)
   cov=25 glen=35000 seed=21: IDENTICAL (92 reads)
 
+Round-2 result (2026-08-17, CPU backend — tunnel down; backend parity
+is separately watched by bench.py's parity_ok): all four above
+IDENTICAL, plus both edges of the reference's stated ~10x-100x
+operating range (README.md:8):
+  cov=10  glen=40000 seed=31 (-c10): IDENTICAL
+  cov=100 glen=30000 seed=37       : IDENTICAL
+
 Usage: python3 tools/parity_sweep.py [refbinary] (default /tmp/refbuild/ClassPro)
 """
 
@@ -27,24 +34,34 @@ CONFIGS = [
     (60, 45_000, 9),
     (40, 80_000, 13),
     (25, 35_000, 21),
+    # reference README.md:8 states the assumed operating range is
+    # ~10x-100x diploid coverage: pin both edges.  At 10x the D peak
+    # sits at the reference's own peak-search floor (hist.c:63 exits
+    # when the tallest peak count is < 10, telling the user to pass
+    # -c), so the low edge runs with the -c override — which also
+    # pins -c parity at the edge.
+    (10, 40_000, 31, ["-c10"]),
+    (100, 30_000, 37),
 ]
 
 
 def main() -> int:
     ref = sys.argv[1] if len(sys.argv) > 1 else "/tmp/refbuild/ClassPro"
     rc = 0
-    for cov, glen, seed in CONFIGS:
+    for cfg in CONFIGS:
+        cov, glen, seed = cfg[:3]
+        extra = list(cfg[3]) if len(cfg) > 3 else []
         with tempfile.TemporaryDirectory() as d:
             subprocess.run(
                 [sys.executable, "-m", "classpro_tpu.cli", "simulate", d,
                  "--genome-len", str(glen), "--coverage", str(cov),
                  "--seed", str(seed)],
                 check=True, capture_output=True)
-            subprocess.run([ref, "-T1", f"-P{d}", "reads.fasta"],
+            subprocess.run([ref, "-T1", f"-P{d}", *extra, "reads.fasta"],
                            cwd=d, check=True, capture_output=True)
             subprocess.run(
                 [sys.executable, "-m", "classpro_tpu.cli", "classify",
-                 f"{d}/reads.fasta", "-o", f"{d}/ours.class"],
+                 *extra, f"{d}/reads.fasta", "-o", f"{d}/ours.class"],
                 check=True, capture_output=True)
             same = filecmp.cmp(f"{d}/reads.class", f"{d}/ours.class",
                                shallow=False)
