@@ -527,9 +527,9 @@ class TpuEngine:
                                          threads=self.threads)
             if hasattr(self.wall, "release_slab"):
                 self.wall.release_slab(slab)
-            bts = buf.tobytes()
+            mv = memoryview(buf)  # str() decodes straight from the slab
             for r, i in enumerate(g):
-                res[i] = bts[out_off[r]: out_off[r + 1]].decode("ascii")
+                res[i] = str(mv[out_off[r]: out_off[r + 1]], "ascii")
         elif st["todo"]:
             self._chunk_alldev(seqs, st["profiles"], st["todo"], res)
         for i in range(len(seqs)):
