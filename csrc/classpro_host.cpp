@@ -22,7 +22,10 @@
 #endif
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
+#include <ctime>
 #include <deque>
 #if defined(__AVX2__)
 #include <immintrin.h>
@@ -34,6 +37,13 @@ namespace {
 
 constexpr int MAX_KMER_CNT = 32767;
 constexpr double NEG_INF = -INFINITY;
+
+// coarse section timers, enabled by env CP_PROF (stderr report per call)
+static inline long long now_ns() {
+  struct timespec ts;
+  clock_gettime(CLOCK_MONOTONIC, &ts);
+  return (long long)ts.tv_sec * 1000000000LL + ts.tv_nsec;
+}
 
 // ---------------------------------------------------------------------
 // numerics (semantics of prob.c / bessel.c / util.c; fresh implementation)
@@ -1447,6 +1457,8 @@ void cp_wall_stage_batch(
   if (hw > 0 && T > hw) T = hw;
   if (T < 1) T = 1;
   std::atomic<int> next(0);
+  const bool prof_on = std::getenv("CP_PROF") != nullptr;
+  std::atomic<long long> t_run(0), t_rel(0);
 
   auto worker = [&]() {
     for (;;) {
@@ -1458,16 +1470,25 @@ void cp_wall_stage_batch(
       int plen = (int)(prof_off[i + 1] - prof_off[i]);
       CtxOnDemand cd{seq, rlen};
       WallWalk W(M, prof, plen, cd, g_ws);
+      long long t0 = prof_on ? now_ns() : 0;
       int N = W.run(out + (int64_t)i * slot, slot);
+      if (prof_on) t_run += now_ns() - t0;
       if (N < 0) { n_out[i] = -1; n_rel[i] = 0; continue; }
+      if (prof_on) t0 = now_ns();
       n_rel[i] = W.find_rel(out + (int64_t)i * slot, N);
+      if (prof_on) t_rel += now_ns() - t0;
       n_out[i] = N;
     }
   };
-  if (T == 1) { worker(); return; }
-  std::vector<std::thread> ts;
-  for (int t = 0; t < T; t++) ts.emplace_back(worker);
-  for (auto& th : ts) th.join();
+  if (T == 1) worker();
+  else {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < T; t++) ts.emplace_back(worker);
+    for (auto& th : ts) th.join();
+  }
+  if (prof_on)
+    std::fprintf(stderr, "[cp_prof] wall run=%.2fms find_rel=%.2fms\n",
+                 t_run.load() / 1e6, t_rel.load() / 1e6);
 }
 
 // Batched unreliable-interval relaxation (class_unrel.c:248-300 semantics,
@@ -1546,22 +1567,34 @@ void cp_wall_stage_batch_ptr(
   if (T < 1) T = 1;
   std::atomic<int> next(0);
 
+  const bool prof_on = std::getenv("CP_PROF") != nullptr;
+  std::atomic<long long> t_run(0), t_rel(0);
+
   auto worker = [&]() {
     for (;;) {
       int i = next.fetch_add(1);
       if (i >= n_reads) return;
       CtxOnDemand cd{seqs[i], seq_len[i]};
       WallWalk W(M, profs[i], prof_len[i], cd, g_ws);
+      long long t0 = prof_on ? now_ns() : 0;
       int N = W.run(out + (int64_t)i * slot, slot);
+      if (prof_on) t_run += now_ns() - t0;
       if (N < 0) { n_out[i] = -1; n_rel[i] = 0; continue; }
+      if (prof_on) t0 = now_ns();
       n_rel[i] = W.find_rel(out + (int64_t)i * slot, N);
+      if (prof_on) t_rel += now_ns() - t0;
       n_out[i] = N;
     }
   };
-  if (T == 1) { worker(); return; }
-  std::vector<std::thread> ts;
-  for (int t = 0; t < T; t++) ts.emplace_back(worker);
-  for (auto& th : ts) th.join();
+  if (T == 1) worker();
+  else {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < T; t++) ts.emplace_back(worker);
+    for (auto& th : ts) th.join();
+  }
+  if (prof_on)
+    std::fprintf(stderr, "[cp_prof] wall_ptr run=%.2fms find_rel=%.2fms\n",
+                 t_run.load() / 1e6, t_rel.load() / 1e6);
 }
 
 // Pack the reliable intervals of a wall-stage slab into the rel-only
@@ -1640,6 +1673,9 @@ void cp_finish_batch(int cov_e, int cov_r, int cov_h, int cov_d,
   if (T < 1) T = 1;
   std::atomic<int> next(0);
 
+  const bool prof_on = std::getenv("CP_PROF") != nullptr;
+  std::atomic<long long> t_relax(0);
+
   auto worker = [&]() {
     std::vector<int> ord(slot);
     std::vector<int8_t> asgn(slot);
@@ -1659,7 +1695,9 @@ void cp_finish_batch(int cov_e, int cov_r, int cov_h, int cov_d,
         for (int k = 0; k < N; k++)
           if (ivr[k].is_rel) asgn[k] = rr[w++];
       }
+      long long t0 = prof_on ? now_ns() : 0;
       u_classify_read(G, ivr, asgn.data(), N, ord.data());
+      if (prof_on) t_relax += now_ns() - t0;
       for (int k = 0; k < N; k++) {
         int a = asgn[k];
         if (a < 0) a = 0;
@@ -1671,10 +1709,15 @@ void cp_finish_batch(int cov_e, int cov_r, int cov_h, int cov_d,
       }
     }
   };
-  if (T == 1) { worker(); return; }
-  std::vector<std::thread> ts;
-  for (int t = 0; t < T; t++) ts.emplace_back(worker);
-  for (auto& th : ts) th.join();
+  if (T == 1) worker();
+  else {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < T; t++) ts.emplace_back(worker);
+    for (auto& th : ts) th.join();
+  }
+  if (prof_on)
+    std::fprintf(stderr, "[cp_prof] finish relax=%.2fms\n",
+                 t_relax.load() / 1e6);
 }
 
 // Expand per-interval assignments to per-base class characters
