@@ -31,7 +31,7 @@ from classpro_tpu.io.fastx import write_fasta
 import tools.branch_probe as bp
 
 
-def build(seed: int, outdir: str) -> int:
+def build(seed: int, outdir: str, dam: bool = False) -> int:
     rng = np.random.default_rng(seed)
     K = int(rng.choice([16, 24, 32, 40]))
     bp.K = K  # the generator reads the module-level K for dip widths
@@ -44,19 +44,71 @@ def build(seed: int, outdir: str) -> int:
         seq = bp._seq(rng, len(counts) + K - 1, runs)
         recs.append((f"fuzz/{seed}/{i}", "", seq))
     root = os.path.join(outdir, "reads")
-    write_fasta(root + ".fasta", recs)
+    if dam:
+        from classpro_tpu.io.dazz import write_dam
+        write_dam(root, [(h, s) for h, _, s in recs])
+    else:
+        write_fasta(root + ".fasta", recs)
     write_profiles(root, profiles, K)
     write_histogram(root, histogram_from_counts(K, hist_counts))
     return K
 
 
+# files produced by the DAZZ -s mode (ClassPro.c:289-304 track writers);
+# all must be byte-identical between the reference run and ours
+_DAM_OUTS = ("reads.class", ".reads.class.anno", ".reads.class.data",
+             ".reads.rep.anno", ".reads.rep.data")
+
+
+def run_dam_seed(seed: int, env: dict) -> str:
+    """One -s/.dam fuzz seed: identical crafted dataset built twice
+    (ref/ and ours/ so the hidden track files can't collide), reference
+    `ClassPro -s` vs `cli classify -s`, all five outputs compared."""
+    base = f"/tmp/fuzzdam_{seed}"
+    shutil.rmtree(base, ignore_errors=True)
+    K = build(seed, f"{base}/ref", dam=True)
+    build(seed, f"{base}/ours", dam=True)
+    r = subprocess.run(["/tmp/refbuild/ClassPro", "-s", "-T1",
+                        f"-P{base}/ref", "reads.dam"], cwd=f"{base}/ref",
+                       capture_output=True, text=True)
+    if r.returncode != 0:
+        shutil.rmtree(base, ignore_errors=True)
+        return (f"seed {seed} (K={K}): reference failed "
+                f"({r.stderr.strip()[-120:]})")
+    r2 = subprocess.run(
+        [sys.executable, "-m", "classpro_tpu.cli", "classify", "-s",
+         f"{base}/ours/reads.dam"],
+        env=env, capture_output=True, text=True, timeout=600)
+    if r2.returncode != 0:
+        return (f"seed {seed} (K={K}): OURS CRASHED: "
+                f"{r2.stderr.strip()[-300:]}")
+    diffs = [f for f in _DAM_OUTS
+             if not filecmp.cmp(f"{base}/ref/{f}", f"{base}/ours/{f}",
+                                shallow=False)]
+    if not diffs:
+        shutil.rmtree(base, ignore_errors=True)
+        return f"seed {seed} (K={K}): IDENTICAL (class + 4 tracks)"
+    return f"seed {seed} (K={K}): *** DIFFERS *** {diffs}"
+
+
 def main() -> int:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-    seed0 = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+    argv = [a for a in sys.argv[1:] if a != "--dam"]
+    dam = "--dam" in sys.argv[1:]
+    n = int(argv[0]) if len(argv) > 0 else 20
+    seed0 = int(argv[1]) if len(argv) > 1 else 1000
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
     env["JAX_ENABLE_X64"] = "1"
+    if dam:
+        bad = 0
+        for seed in range(seed0, seed0 + n):
+            msg = run_dam_seed(seed, env)
+            print(msg, flush=True)
+            if "DIFFERS" in msg or "CRASHED" in msg:
+                bad += 1
+        print(f"{bad} divergent/crashed of {n}")
+        return 1 if bad else 0
     bad = 0
     for seed in range(seed0, seed0 + n):
         d = f"/tmp/fuzz_{seed}"
