@@ -54,6 +54,95 @@ def build(seed: int, outdir: str, dam: bool = False) -> int:
     return K
 
 
+def write_random_model(seed: int, path: str) -> int:
+    """Random HIsim error-model file (load_himodel layout, wall.c:55-62:
+    int32 kmer; 0x4000 heptamer E_Rates of 11 f4; per unit length 1..3,
+    krange*4^ulen M_Rates of 7 f4).  Rates are resampled until the
+    fitted quadratic keeps pe in (0,1) across l=1..lmax for every ctype
+    (real HIsim models always do; out-of-range pe hits C's silent
+    log(<=0)=nan, which is not a behavior worth byte-matching)."""
+    import struct
+
+    from classpro_tpu.constants import Defaults
+    from classpro_tpu.estimation import _quadfit
+
+    dflt = Defaults()
+    x = np.arange(1.0, 6.0)
+    for sub in range(64):
+        rng = np.random.default_rng((seed << 8) | sub)
+        kmer = int(rng.choice([32, 40]))
+        krange = kmer // 2 - 6
+        blocks, ok = [], True
+        for t in range(3):
+            ulen = t + 1
+            n = 1 << (2 * ulen)
+            # gently increasing mean rate with run length, unit scatter
+            base = rng.uniform(0.002, 0.02)
+            slope = rng.uniform(0.001, 0.01)
+            m = np.zeros((n, krange, 7))
+            for col in range(krange):
+                j = (col + 2 * ulen) / ulen  # run length of this column
+                mu = base + slope * j
+                m[:, col, :] = rng.uniform(0.3 * mu, 1.7 * mu, (n, 7))
+            m[rng.random(m.shape) < 0.08] = 0.0  # p>0 filter, wall.c:94
+            # replicate the fit to pre-check the pe range
+            y = np.zeros(5)
+            y[0] = 0.002
+            for j in range(2, 6):
+                col = j * ulen - 2 * ulen
+                v = m[:, col, 0]
+                v = v[v > 0.0]
+                y[j - 1] = v.mean() if len(v) else float("nan")
+            c = _quadfit(x, y)
+            lmax = dflt.max_n_lc // ulen
+            ls = np.arange(1, lmax + 1)
+            pe = c[0] + c[1] * ls + c[2] * ls * ls
+            if not np.all((pe > 1e-9) & (pe < 0.9)):
+                ok = False
+                break
+            blocks.append(m.astype("<f4"))
+        if not ok:
+            continue
+        with open(path, "wb") as f:
+            f.write(struct.pack("<i", kmer))
+            f.write(rng.uniform(0, 0.3, 0x4000 * 11).astype("<f4")
+                    .tobytes())
+            for m in blocks:
+                f.write(m.tobytes())
+        return kmer
+    raise RuntimeError(f"seed {seed}: no valid model in 64 tries")
+
+
+def run_model_seed(seed: int, env: dict) -> str:
+    """One -M fuzz seed: crafted dataset + random HIsim model, reference
+    `ClassPro -M` vs `cli classify -M`, .class byte-compared."""
+    d = f"/tmp/fuzzmod_{seed}"
+    shutil.rmtree(d, ignore_errors=True)
+    K = build(seed, d)
+    mk = write_random_model(seed, f"{d}/rand.model")
+    r = subprocess.run(["/tmp/refbuild/ClassPro", "-T1", f"-P{d}",
+                        f"-M{d}/rand.model", "reads.fasta"], cwd=d,
+                       capture_output=True, text=True)
+    if r.returncode != 0:
+        shutil.rmtree(d, ignore_errors=True)
+        return (f"seed {seed} (K={K},mK={mk}): reference failed "
+                f"({r.stderr.strip()[-120:]})")
+    r2 = subprocess.run(
+        [sys.executable, "-m", "classpro_tpu.cli", "classify",
+         "-M", f"{d}/rand.model", f"{d}/reads.fasta",
+         "-o", f"{d}/ours.class"],
+        env=env, capture_output=True, text=True, timeout=600)
+    if r2.returncode != 0:
+        return (f"seed {seed} (K={K},mK={mk}): OURS CRASHED: "
+                f"{r2.stderr.strip()[-300:]}")
+    same = filecmp.cmp(f"{d}/reads.class", f"{d}/ours.class",
+                       shallow=False)
+    if same:
+        shutil.rmtree(d, ignore_errors=True)
+        return f"seed {seed} (K={K},mK={mk}): IDENTICAL"
+    return f"seed {seed} (K={K},mK={mk}): *** DIFFERS ***"
+
+
 # files produced by the DAZZ -s mode (ClassPro.c:289-304 track writers);
 # all must be byte-identical between the reference run and ours
 _DAM_OUTS = ("reads.class", ".reads.class.anno", ".reads.class.data",
@@ -92,18 +181,20 @@ def run_dam_seed(seed: int, env: dict) -> str:
 
 
 def main() -> int:
-    argv = [a for a in sys.argv[1:] if a != "--dam"]
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     dam = "--dam" in sys.argv[1:]
+    model = "--model" in sys.argv[1:]
     n = int(argv[0]) if len(argv) > 0 else 20
     seed0 = int(argv[1]) if len(argv) > 1 else 1000
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
     env["JAX_ENABLE_X64"] = "1"
-    if dam:
+    if dam or model:
+        run_one = run_model_seed if model else run_dam_seed
         bad = 0
         for seed in range(seed0, seed0 + n):
-            msg = run_dam_seed(seed, env)
+            msg = run_one(seed, env)
             print(msg, flush=True)
             if "DIFFERS" in msg or "CRASHED" in msg:
                 bad += 1
