@@ -60,7 +60,7 @@ def _classify_db(args) -> int:
                             read_len=args.read_len,
                             model_path=args.model)
     P = open_profiles(fk_root)
-    eng = TpuEngine(gm, threads=args.threads)
+    eng = TpuEngine(gm, threads=args.threads, verbose=args.verbose)
     K = gm.kmer
     ctos = np.zeros(256, np.uint8)        # const.c stoc order E,R,H,D
     for code, ch in enumerate(b"ERHD"):

