@@ -31,7 +31,12 @@ from classpro_tpu.io.fastx import write_fasta
 import tools.branch_probe as bp
 
 
-def build(seed: int, outdir: str, dam: bool = False) -> int:
+def build(seed: int, outdir: str, dam: bool = False) -> tuple[int, str]:
+    """Crafted dataset for one seed; returns (K, input file name).
+
+    Container format (FASTA/FASTQ, plain/gzip) is drawn per seed so the
+    native gzip-inflate + record-scan input path is fuzzed against the
+    reference's kseq parsing, not only plain FASTA."""
     rng = np.random.default_rng(seed)
     K = int(rng.choice([16, 24, 32, 40]))
     bp.K = K  # the generator reads the module-level K for dip widths
@@ -47,11 +52,24 @@ def build(seed: int, outdir: str, dam: bool = False) -> int:
     if dam:
         from classpro_tpu.io.dazz import write_dam
         write_dam(root, [(h, s) for h, _, s in recs])
+        fname = "reads.dam"
     else:
-        write_fasta(root + ".fasta", recs)
+        import gzip as _gz
+
+        fmt_rng = np.random.default_rng(seed ^ 0xF0F0)
+        fname = "reads." + str(fmt_rng.choice(
+            ["fasta", "fasta.gz", "fastq", "fastq.gz"]))
+        if ".fastq" in fname:
+            op = _gz.open if fname.endswith(".gz") else open
+            with op(os.path.join(outdir, fname), "wt") as f:
+                for name, comment, seq in recs:
+                    hdr = f"@{name} {comment}" if comment else f"@{name}"
+                    f.write(f"{hdr}\n{seq}\n+\n{'I' * len(seq)}\n")
+        else:
+            write_fasta(os.path.join(outdir, fname), recs)
     write_profiles(root, profiles, K)
     write_histogram(root, histogram_from_counts(K, hist_counts))
-    return K
+    return K, fname
 
 
 def write_random_model(seed: int, path: str) -> int:
@@ -118,10 +136,10 @@ def run_model_seed(seed: int, env: dict) -> str:
     `ClassPro -M` vs `cli classify -M`, .class byte-compared."""
     d = f"/tmp/fuzzmod_{seed}"
     shutil.rmtree(d, ignore_errors=True)
-    K = build(seed, d)
+    K, fname = build(seed, d)
     mk = write_random_model(seed, f"{d}/rand.model")
     r = subprocess.run(["/tmp/refbuild/ClassPro", "-T1", f"-P{d}",
-                        f"-M{d}/rand.model", "reads.fasta"], cwd=d,
+                        f"-M{d}/rand.model", fname], cwd=d,
                        capture_output=True, text=True)
     if r.returncode != 0:
         shutil.rmtree(d, ignore_errors=True)
@@ -129,7 +147,7 @@ def run_model_seed(seed: int, env: dict) -> str:
                 f"({r.stderr.strip()[-120:]})")
     r2 = subprocess.run(
         [sys.executable, "-m", "classpro_tpu.cli", "classify",
-         "-M", f"{d}/rand.model", f"{d}/reads.fasta",
+         "-M", f"{d}/rand.model", f"{d}/{fname}",
          "-o", f"{d}/ours.class"],
         env=env, capture_output=True, text=True, timeout=600)
     if r2.returncode != 0:
@@ -155,7 +173,7 @@ def run_dam_seed(seed: int, env: dict) -> str:
     `ClassPro -s` vs `cli classify -s`, all five outputs compared."""
     base = f"/tmp/fuzzdam_{seed}"
     shutil.rmtree(base, ignore_errors=True)
-    K = build(seed, f"{base}/ref", dam=True)
+    K, _ = build(seed, f"{base}/ref", dam=True)
     build(seed, f"{base}/ours", dam=True)
     r = subprocess.run(["/tmp/refbuild/ClassPro", "-s", "-T1",
                         f"-P{base}/ref", "reads.dam"], cwd=f"{base}/ref",
@@ -204,27 +222,27 @@ def main() -> int:
     for seed in range(seed0, seed0 + n):
         d = f"/tmp/fuzz_{seed}"
         shutil.rmtree(d, ignore_errors=True)
-        K = build(seed, d)
+        K, fname = build(seed, d)
         r = subprocess.run(["/tmp/refbuild/ClassPro", "-T1", f"-P{d}",
-                            "reads.fasta"], cwd=d, capture_output=True,
+                            fname], cwd=d, capture_output=True,
                            text=True)
         if r.returncode != 0:
-            print(f"seed {seed} (K={K}): reference failed "
+            print(f"seed {seed} (K={K},{fname}): reference failed "
                   f"({r.stderr.strip()[-120:]})", flush=True)
             shutil.rmtree(d, ignore_errors=True)
             continue
         r2 = subprocess.run(
             [sys.executable, "-m", "classpro_tpu.cli", "classify",
-             f"{d}/reads.fasta", "-o", f"{d}/ours.class"],
+             f"{d}/{fname}", "-o", f"{d}/ours.class"],
             env=env, capture_output=True, text=True, timeout=600)
         if r2.returncode != 0:
-            print(f"seed {seed} (K={K}): OURS CRASHED: "
+            print(f"seed {seed} (K={K},{fname}): OURS CRASHED: "
                   f"{r2.stderr.strip()[-300:]}", flush=True)
             bad += 1
             continue
         same = filecmp.cmp(f"{d}/reads.class", f"{d}/ours.class",
                            shallow=False)
-        print(f"seed {seed} (K={K}): "
+        print(f"seed {seed} (K={K},{fname}): "
               + ("IDENTICAL" if same else "*** DIFFERS ***"), flush=True)
         if same:
             shutil.rmtree(d, ignore_errors=True)
