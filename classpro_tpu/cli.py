@@ -415,8 +415,42 @@ def build_parser() -> argparse.ArgumentParser:
     return ap
 
 
+def _tpu_preflight_or_fallback(argv) -> None:
+    """A down TPU tunnel hangs jax backend init for ~20 minutes (the
+    plugin installs at interpreter startup, keyed on
+    PALLAS_AXON_POOL_IPS).  Before the classify path touches jax, probe
+    device init in a bounded subprocess; if unreachable, warn and
+    re-exec onto the CPU backend (identical output, scrubbed env) —
+    same policy as bench.py.  Skip with CLASSPRO_NO_PREFLIGHT=1 or an
+    explicit --platform."""
+    import subprocess
+
+    try:
+        r = subprocess.run([sys.executable, "-c",
+                            "import jax; jax.devices()"],
+                           timeout=180, capture_output=True)
+        if r.returncode == 0:
+            return
+    except subprocess.TimeoutExpired:
+        pass
+    print("classpro-tpu: TPU tunnel unreachable; continuing on the CPU "
+          "backend (identical output; use --platform tpu to wait for "
+          "the device instead)", file=sys.stderr)
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["CLASSPRO_NO_PREFLIGHT"] = "1"
+    os.execve(sys.executable,
+              [sys.executable, "-m", "classpro_tpu.cli"] + list(argv), env)
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if (args.platform is None and args.fn is cmd_classify
+            and os.environ.get("PALLAS_AXON_POOL_IPS")
+            and not os.environ.get("CLASSPRO_NO_PREFLIGHT")):
+        _tpu_preflight_or_fallback(
+            sys.argv[1:] if argv is None else list(argv))
     if args.platform == "cpu" and os.environ.get("PALLAS_AXON_POOL_IPS"):
         # The TPU-tunnel plugin installs itself from sitecustomize at
         # interpreter startup (keyed on PALLAS_AXON_POOL_IPS) and
