@@ -37,6 +37,9 @@ def test_real_tpu_byte_identity(tmp_path):
         env["PALLAS_AXON_POOL_IPS"] = env.pop("CLASSPRO_SAVED_POOL_IPS")
     repo = str(pathlib.Path(__file__).resolve().parent.parent)
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    # this test must exercise the REAL device: disable the CLI's
+    # auto-CPU-fallback preflight so a dead tunnel fails loudly
+    env["CLASSPRO_NO_PREFLIGHT"] = "1"
     out = tmp_path / "ours.class"
     subprocess.run(
         [sys.executable, "-m", "classpro_tpu.cli", "classify", str(src),
