@@ -152,7 +152,8 @@ def cmd_classify(args: argparse.Namespace) -> int:
                                  read_len=args.read_len, model_path=args.model,
                                  threads=args.threads, verbose=args.verbose,
                                  warmup=args.warmup,
-                                 group=getattr(args, "group", 1))
+                                 group=getattr(args, "group", 1),
+                                 devices=getattr(args, "devices", 0))
     if args.seeds:
         from classpro_tpu.io.fastk import open_profiles
 
@@ -331,6 +332,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "device program (amortizes fixed per-execution "
                         "launch cost on high-latency links; see "
                         "tools/device_probe.py)")
+    c.add_argument("--devices", type=int, default=0, metavar="N",
+                   help="round-robin chunks over the first N local "
+                        "chips (replicated tables, zero cross-device "
+                        "traffic; 0 = the default device only)")
     c.add_argument("--warmup", action="store_true",
                    help="pre-compile + first-execute the device programs "
                         "for the dataset's expected shape buckets before "

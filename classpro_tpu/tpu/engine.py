@@ -285,7 +285,7 @@ class TpuEngine:
     # (bench.py sweep: 160 worse, 240 noise-equal, 512 slower)
     def __init__(self, gm: GlobalModel, batch_size: int = 200,
                  threads: int = 0, group: int = 1,
-                 verbose: bool = False):
+                 verbose: bool = False, devices=None):
         self.gm = gm
         self.batch_size = batch_size
         self.threads = threads      # host-side C++ worker count (-T)
@@ -294,16 +294,42 @@ class TpuEngine:
         # cost — see tools/device_probe.py before enabling
         self.group = max(1, group)
         self.verbose = verbose      # stderr notice on cold program builds
+        # devices: round-robin chunk dispatch over the host's local
+        # chips (the reference's per-thread read ranges, §2.5, mapped to
+        # chips).  Each chunk's rel DP is one single-device program —
+        # zero cross-device traffic, so N chips divide the device cost
+        # by N.  None = the process default device (single-chip).
+        self.devices = list(devices) if devices else None
+        self._rr = 0
+        self._pp_on: dict = {}      # device -> device-resident tables
         self.wall = make_wall_stage(gm)
         self.pp = build_pipeline_params(gm)
         self._exec_cache: dict = {}
 
+    def _next_device(self):
+        """Round-robin device for the next chunk (None = default)."""
+        if not self.devices:
+            return None
+        dev = self.devices[self._rr % len(self.devices)]
+        self._rr += 1
+        return dev
+
+    def _pp_for(self, dev):
+        """Device-resident pipeline tables (replicated per chip, the
+        reference's shared read-only model, §2.5)."""
+        if dev is None:
+            return self.pp
+        pp = self._pp_on.get(dev)
+        if pp is None:
+            pp = self._pp_on[dev] = jax.device_put(self.pp, dev)
+        return pp
+
     # ------------------------------------------------------------------
-    def _rel_exec(self, R: int, max_m: int):
-        """AOT-compiled rel program per (R, max_m) bucket: each
-        dispatch skips the jit cache/arg-hashing machinery (~3 ms/call
-        on this host)."""
-        key = (R, max_m)
+    def _rel_exec(self, R: int, max_m: int, dev=None):
+        """AOT-compiled rel program per (R, max_m[, device]) bucket:
+        each dispatch skips the jit cache/arg-hashing machinery
+        (~3 ms/call on this host)."""
+        key = (R, max_m) if dev is None else (R, max_m, dev)
         ex = self._exec_cache.get(key)
         if ex is None:
             self._cold_notice(key)
@@ -314,10 +340,23 @@ class TpuEngine:
             # PP stays a runtime argument: closing over it would bake
             # the ~100MB Skellam tables into the HLO as constants (4x
             # compile time, bloated persistent-cache entries)
-            aot = jax.jit(
-                rel_only_dev, static_argnames=("R", "max_m")
-            ).lower(fb_s, ib_s, self.pp, R=R, max_m=max_m).compile()
-            ex = lambda fb, ib: aot(fb, ib, self.pp)
+            pp = self._pp_for(dev)
+            if dev is None:
+                jitted = jax.jit(rel_only_dev,
+                                 static_argnames=("R", "max_m"))
+                aot = jitted.lower(fb_s, ib_s, pp,
+                                   R=R, max_m=max_m).compile()
+            else:
+                # pjit rejects kwargs alongside in_shardings: bake the
+                # static dims into a positional-only wrapper instead
+                from jax.sharding import SingleDeviceSharding
+
+                sd = SingleDeviceSharding(dev)
+                fn = lambda fb, ib, p: rel_only_dev(fb, ib, p,
+                                                    R=R, max_m=max_m)
+                aot = jax.jit(fn, in_shardings=sd, out_shardings=sd
+                              ).lower(fb_s, ib_s, pp).compile()
+            ex = lambda fb, ib: aot(fb, ib, pp)
             self._exec_cache[key] = ex
         return ex
 
@@ -346,7 +385,8 @@ class TpuEngine:
                     (fb,) * self.group, (ib,) * self.group)
                 for o in outs:
                     np.asarray(o)
-            np.asarray(self._rel_exec(R, max_m)(fb, ib))
+            for dev in (self.devices or [None]):
+                np.asarray(self._rel_exec(R, max_m, dev)(fb, ib))
 
     # ------------------------------------------------------------------
     def classify_chunk(self, seqs: list[str], profiles: list[np.ndarray]) -> list[str]:
@@ -378,10 +418,14 @@ class TpuEngine:
         if self.group > 1:
             yield from self._classify_stream_grouped(chunks)
             return
+        # depth 3 covers one device (host k+1 || device k || finish
+        # k-1); with N round-robin devices keep ~2 chunks in flight per
+        # chip so every chip always has a program running
+        depth = 3 if not self.devices else max(3, 2 * len(self.devices) + 1)
         pending: collections.deque = collections.deque()
         for seqs, profiles in chunks:
             pending.append(self._submit(seqs, profiles))
-            if len(pending) >= 3:
+            if len(pending) >= depth:
                 yield self._finish(pending.popleft())
         while pending:
             yield self._finish(pending.popleft())
@@ -455,7 +499,8 @@ class TpuEngine:
         st = self._stage(seqs, profiles)
         if "_plens" in st:
             fb, ib = self._pack_st(st, st["_R"], st["_mm"])
-            out = self._rel_exec(st["_R"], st["_mm"])(fb, ib)
+            out = self._rel_exec(st["_R"], st["_mm"],
+                                 self._next_device())(fb, ib)
             box = {}
 
             def fetch():
@@ -469,9 +514,9 @@ class TpuEngine:
             st["box"], st["thread"] = box, th
         return st
 
-    def _rel_multi_exec(self, G: int, R: int, max_m: int):
+    def _rel_multi_exec(self, G: int, R: int, max_m: int, dev=None):
         """AOT-compiled G-chunk program (rel_multi_dev) per bucket."""
-        key = (G, R, max_m)
+        key = (G, R, max_m) if dev is None else (G, R, max_m, dev)
         ex = self._exec_cache.get(key)
         if ex is None:
             self._cold_notice(key)
@@ -482,24 +527,37 @@ class TpuEngine:
             fb_s = jax.ShapeDtypeStruct((R * max_m,), jnp.float64)
             ib_s = jax.ShapeDtypeStruct((4 * R * max_m + 2 * R,),
                                         jnp.int32)
-            aot = jax.jit(
-                rel_multi_dev, static_argnames=("R", "max_m")
-            ).lower((fb_s,) * G, (ib_s,) * G, self.pp,
-                    R=R, max_m=max_m).compile()
-            ex = lambda fbs, ibs: aot(fbs, ibs, self.pp)
+            pp = self._pp_for(dev)
+            if dev is None:
+                aot = jax.jit(
+                    rel_multi_dev, static_argnames=("R", "max_m")
+                ).lower((fb_s,) * G, (ib_s,) * G, pp,
+                        R=R, max_m=max_m).compile()
+            else:
+                from jax.sharding import SingleDeviceSharding
+
+                sd = SingleDeviceSharding(dev)
+                fn = lambda fbs, ibs, p: rel_multi_dev(
+                    fbs, ibs, p, R=R, max_m=max_m)
+                aot = jax.jit(fn, in_shardings=sd, out_shardings=sd
+                              ).lower((fb_s,) * G, (ib_s,) * G,
+                                      pp).compile()
+            ex = lambda fbs, ibs: aot(fbs, ibs, pp)
             self._exec_cache[key] = ex
         return ex
 
     def _dispatch_multi(self, sts) -> None:
         """Pack each staged chunk at the group's common bucket and
-        dispatch ONE device program for all of them; a single fetch
-        thread distributes the per-chunk results."""
+        dispatch ONE device program for all of them (round-robined over
+        local chips when devices= is set); a single fetch thread
+        distributes the per-chunk results."""
         import threading
 
         R = max(st["_R"] for st in sts)
         max_m = max(st["_mm"] for st in sts)
         blobs = [self._pack_st(st, R, max_m) for st in sts]
-        outs = self._rel_multi_exec(len(sts), R, max_m)(
+        outs = self._rel_multi_exec(len(sts), R, max_m,
+                                    self._next_device())(
             tuple(fb for fb, _ in blobs), tuple(ib for _, ib in blobs))
         boxes = [{} for _ in sts]
 
@@ -623,15 +681,17 @@ def classify_file_tpu(fastx_path: str, fastk_root: str, coverage: int = 0,
                       read_len: int = 20000, model_path: str | None = None,
                       batch_size: int = 200, threads: int = 0,
                       verbose: bool = False, warmup: bool = False,
-                      group: int = 1) -> Iterator[ClassRecord]:
+                      group: int = 1,
+                      devices: int = 0) -> Iterator[ClassRecord]:
     # setup (model build + optional device warmup) runs EAGERLY at call
     # time — the streaming body is the inner generator
     hist = load_histogram(fastk_root)
     gm = build_global_model(hist, coverage=coverage, read_len=read_len,
                             model_path=model_path)
     P = open_profiles(fastk_root)
+    devs = jax.local_devices()[:devices] if devices > 0 else None
     eng = TpuEngine(gm, batch_size=batch_size, threads=threads,
-                    group=group, verbose=verbose)
+                    group=group, verbose=verbose, devices=devs)
     if warmup:
         # expected (R, max_m) ladder for this batch size: R = bucketed
         # batch, max_m from the coarse ladder's low rungs (dataset-

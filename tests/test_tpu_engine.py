@@ -348,3 +348,37 @@ def test_grouped_stream_matches_ungrouped():
     got3 = run(TpuEngine(gm, batch_size=B, group=3))   # 3+partial 2
     assert got2 == want
     assert got3 == want
+
+
+def test_multidevice_round_robin_matches_single():
+    """TpuEngine(devices=[d0, d1, ...]) round-robins whole chunks over
+    local chips (replicated tables, zero cross-device traffic) and must
+    yield exactly the single-device outputs — including a chunk with an
+    empty profile and a trailing partial chunk."""
+    import jax
+
+    from classpro_tpu.estimation import build_global_model
+    from classpro_tpu.io.fastk import load_histogram, open_profiles
+    from classpro_tpu.io.fastx import read_fastx
+    from classpro_tpu.tpu.engine import TpuEngine
+
+    gm = build_global_model(load_histogram(str(FIX / "tiny" / "reads")))
+    P = open_profiles(str(FIX / "tiny" / "reads"))
+    reads = list(read_fastx(str(FIX / "tiny" / "reads.fasta.gz")))[:45]
+    seqs = [r.seq for r in reads]
+    profs = [P.fetch(i) for i in range(45)]
+    profs[7] = np.zeros(0, np.uint16)
+    B = 10                                   # 4 full chunks + partial
+
+    def run(eng):
+        chunks = ((seqs[i:i + B], profs[i:i + B])
+                  for i in range(0, 45, B))
+        return [c for out in eng.classify_stream(chunks) for c in out]
+
+    want = run(TpuEngine(gm, batch_size=B))
+    devs = jax.devices()[:3]
+    assert len(devs) == 3, "conftest should provide 8 virtual devices"
+    eng = TpuEngine(gm, batch_size=B, devices=devs)
+    assert run(eng) == want
+    # every device got at least one chunk
+    assert eng._rr >= len(devs)
