@@ -142,6 +142,35 @@ def battery() -> None:
     print("battery done; .gcda accumulated in", REFCOV)
 
 
+def fuzz_battery(n: int, seed0: int) -> None:
+    """Accumulate coverage from the randomized fuzz corpora (the
+    tools/parity_fuzz.py generators: plain crafted batches across
+    container formats, the DAZZ -s surface, the random -M models) ON
+    TOP of the existing .gcda — run `--run` first for the base battery,
+    then this, then `--report` for the combined table."""
+    sys.path.insert(0, REPO)
+    import tools.parity_fuzz as pf
+
+    with tempfile.TemporaryDirectory() as top:
+        for seed in range(seed0, seed0 + n):
+            d = os.path.join(top, f"f{seed}")
+            _, fname = pf.build(seed, d)
+            classpro(["-T1", f"-P{d}", fname], cwd=d)
+        m = max(4, n // 3)
+        for seed in range(seed0, seed0 + m):
+            d = os.path.join(top, f"d{seed}")
+            pf.build(seed, d, dam=True)
+            classpro(["-s", "-T1", f"-P{d}", "reads.dam"], cwd=d)
+        for seed in range(seed0, seed0 + m):
+            d = os.path.join(top, f"m{seed}")
+            _, fname = pf.build(seed, d)
+            pf.write_random_model(seed, os.path.join(d, "rand.model"))
+            classpro(["-T1", f"-M{d}/rand.model", f"-P{d}", fname],
+                     cwd=d)
+    print(f"fuzz battery done ({n} plain + {m} dam + {m} model seeds); "
+          f".gcda accumulated in", REFCOV)
+
+
 LINE_RE = re.compile(r"^\s*(\d+|#####|=====|-):\s*(\d+):")
 
 
@@ -206,14 +235,20 @@ def report(md: bool = False) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--run", action="store_true")
+    ap.add_argument("--fuzz", type=int, default=0, metavar="N",
+                    help="accumulate N fuzz seeds (+N/3 dam, +N/3 model)"
+                         " on top of the existing .gcda")
+    ap.add_argument("--seed0", type=int, default=9000)
     ap.add_argument("--report", action="store_true")
     ap.add_argument("--md", action="store_true")
     a = ap.parse_args()
     if a.run:
         battery()
+    if a.fuzz:
+        fuzz_battery(a.fuzz, a.seed0)
     if a.report:
         report(a.md)
-    if not (a.run or a.report):
+    if not (a.run or a.report or a.fuzz):
         ap.print_help()
 
 
