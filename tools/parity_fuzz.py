@@ -137,7 +137,11 @@ def run_model_seed(seed: int, env: dict) -> str:
     d = f"/tmp/fuzzmod_{seed}"
     shutil.rmtree(d, ignore_errors=True)
     K, fname = build(seed, d)
-    mk = write_random_model(seed, f"{d}/rand.model")
+    try:
+        mk = write_random_model(seed, f"{d}/rand.model")
+    except RuntimeError as e:   # no in-range model after 64 resamples
+        shutil.rmtree(d, ignore_errors=True)
+        return f"seed {seed}: SKIPPED ({e})"
     r = subprocess.run(["/tmp/refbuild/ClassPro", "-T1", f"-P{d}",
                         f"-M{d}/rand.model", fname], cwd=d,
                        capture_output=True, text=True)
