@@ -82,6 +82,13 @@ def _classify_db(args) -> int:
         for lo, hi in spans:
             seqs = [db.load_read(i) for i in range(lo, hi)]
             profs = [P.fetch(i) for i in range(lo, hi)]
+            for j, p in enumerate(profs):  # ClassPro.c:184-187 rlen check
+                want = max(len(seqs[j]) - K + 1, 0)
+                if len(p) != want:
+                    raise ValueError(
+                        f"Read {lo + j}: rlen ({len(seqs[j])}) != "
+                        f"plen+Km1 ({len(p) + K - 1}) — profile/read "
+                        f"mismatch")
             cache[lo] = (seqs, profs)
             yield seqs, profs
 
@@ -470,7 +477,14 @@ def main(argv: list[str] | None = None) -> int:
     elif args.platform:
         os.environ["JAX_PLATFORMS"] = (
             "axon" if args.platform == "tpu" else "cpu")
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except (FileNotFoundError, ValueError) as e:
+        # bad/missing/corrupt input data: the reference prints one line
+        # and exits 1 (gene_core Fopen / ClassPro.c rlen check); match
+        # that instead of a traceback
+        print(f"classpro-tpu: {e}", file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":

@@ -273,9 +273,19 @@ class ProfileIndex:
 
     def _data(self, part: int) -> np.ndarray:
         if part not in self._part_data:
-            self._part_data[part] = np.fromfile(
+            data = np.fromfile(
                 _hidden(self._root, f"prof.{part + 1}"), dtype=np.uint8
             )
+            # the part must hold at least its last read's end offset
+            # (offsets restart per part, libfastk.c:1446-1454); a short
+            # file would otherwise decode silently into garbage
+            need = int(self.index[self.nbase[part]])
+            if len(data) < need:
+                raise ValueError(
+                    f"{_hidden(self._root, f'prof.{part + 1}')}: "
+                    f"truncated profile part ({len(data)} bytes, pidx "
+                    f"needs {need})")
+            self._part_data[part] = data
         return self._part_data[part]
 
     def raw(self, rid: int) -> bytes:

@@ -713,6 +713,12 @@ def classify_file_tpu(fastx_path: str, fastk_root: str, coverage: int = 0,
         recs.append(chunk)
         plens = [max(len(r.seq) - K + 1, 0) for r in chunk]
         profs = P.fetch_batch(list(range(rid0, rid0 + len(chunk))), plens)
+        for j, p in enumerate(profs):   # ClassPro.c:184-187 rlen check
+            if len(p) != plens[j]:
+                rlen = len(chunk[j].seq)
+                raise ValueError(
+                    f"Read {rid0 + j}: rlen ({rlen}) != plen+Km1 "
+                    f"({len(p) + K - 1}) — profile/read mismatch")
         return [r.seq for r in chunk], profs
 
     def chunk_iter():

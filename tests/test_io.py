@@ -167,3 +167,44 @@ def test_fastx_native_on_fixture(monkeypatch):
     native = list(FX.read_fastx(p))
     monkeypatch.setattr(FX, "_read_fastx_native", lambda _: None)
     assert list(FX.read_fastx(p)) == native
+
+
+def test_truncated_prof_part_raises(tmp_path):
+    """A short .prof part must fail loudly: numpy's short read
+    previously decoded garbage silently; the reference exits via its
+    rlen check (ClassPro.c:184-187)."""
+    import shutil
+
+    src = FIX / "tiny"
+    for fn in ("reads.prof", ".reads.pidx.1", ".reads.prof.1"):
+        shutil.copy(src / fn, tmp_path / fn)
+    p = tmp_path / ".reads.prof.1"
+    data = p.read_bytes()
+    p.write_bytes(data[: len(data) // 2])
+    P = open_profiles(str(tmp_path / "reads"))
+    with pytest.raises(ValueError, match="truncated profile part"):
+        P.fetch(P.nreads - 1)
+
+
+def test_profile_read_length_mismatch_raises(tmp_path):
+    """classify_file_tpu mirrors ClassPro.c:184-187: a profile whose
+    length disagrees with rlen-K+1 aborts instead of classifying
+    garbage."""
+    import gzip as _gz
+    import shutil
+
+    from classpro_tpu.tpu.engine import classify_file_tpu
+
+    src = FIX / "tiny"
+    for fn in ("reads.hist", "reads.prof", ".reads.pidx.1",
+               ".reads.prof.1"):
+        shutil.copy(src / fn, tmp_path / fn)
+    recs = list(read_fastx(str(src / "reads.fasta.gz")))
+    fa = tmp_path / "reads.fasta"
+    with open(fa, "w") as f:
+        for i, r in enumerate(recs):
+            seq = r.seq + ("ACGTACGTAC" if i == 0 else "")
+            f.write(f">{r.name} {r.comment}\n{seq}\n")
+    with pytest.raises(ValueError, match="rlen"):
+        for _ in classify_file_tpu(str(fa), str(tmp_path / "reads")):
+            pass
