@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import struct
 import sys
 
 
@@ -479,7 +480,7 @@ def main(argv: list[str] | None = None) -> int:
             "axon" if args.platform == "tpu" else "cpu")
     try:
         return args.fn(args)
-    except (FileNotFoundError, ValueError) as e:
+    except (OSError, ValueError, struct.error) as e:
         # bad/missing/corrupt input data: the reference prints one line
         # and exits 1 (gene_core Fopen / ClassPro.c rlen check); match
         # that instead of a traceback

@@ -82,9 +82,16 @@ def load_histogram(root: str) -> Histogram:
     """Read ``<root>.hist`` (ref libfastk.c:51-96)."""
     path = root if root.endswith(".hist") else root + ".hist"
     with open(path, "rb") as f:
-        kmer, low, high = struct.unpack("<iii", f.read(12))
-        ilowcnt, ihighcnt = struct.unpack("<qq", f.read(16))
+        hdr = f.read(28)
+        if len(hdr) < 28:
+            raise ValueError(f"{path}: truncated histogram header "
+                             f"({len(hdr)} of 28 bytes)")
+        kmer, low, high = struct.unpack("<iii", hdr[:12])
+        ilowcnt, ihighcnt = struct.unpack("<qq", hdr[12:])
         hist = np.fromfile(f, dtype="<i8", count=high - low + 1)
+        if len(hist) != high - low + 1:
+            raise ValueError(f"{path}: truncated histogram body "
+                             f"({len(hist)} of {high - low + 1} bins)")
     return Histogram(kmer, low, high, ilowcnt, ihighcnt, hist)
 
 

@@ -689,6 +689,9 @@ def classify_file_tpu(fastx_path: str, fastk_root: str, coverage: int = 0,
     gm = build_global_model(hist, coverage=coverage, read_len=read_len,
                             model_path=model_path)
     P = open_profiles(fastk_root)
+    if P.kmer != gm.kmer:
+        raise ValueError(f"{fastk_root}: .hist k-mer size ({gm.kmer}) != "
+                         f".prof k-mer size ({P.kmer})")
     devs = jax.local_devices()[:devices] if devices > 0 else None
     eng = TpuEngine(gm, batch_size=batch_size, threads=threads,
                     group=group, verbose=verbose, devices=devs)
