@@ -65,6 +65,11 @@ def classify_file(fastx_path: str, fastk_root: str, coverage: int = 0,
     clf = ReadClassifier(gm)
     for rid, rec in enumerate(read_fastx(fastx_path)):
         profile = P.fetch(rid)
+        want = max(len(rec.seq) - gm.kmer + 1, 0)
+        if len(profile) != want:   # ClassPro.c:184-187 rlen check
+            raise ValueError(
+                f"Read {rid}: rlen ({len(rec.seq)}) != plen+Km1 "
+                f"({len(profile) + gm.kmer - 1}) — profile/read mismatch")
         classes = clf.classify(rec.seq, profile)
         header = class_header(rec.name, rec.comment)
         yield ClassRecord(header, rec.seq, classes)
