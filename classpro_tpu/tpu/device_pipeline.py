@@ -148,11 +148,12 @@ def _rel_pipeline(U, PP: PipelineParams, R2: int, max_m: int):
     cov_t = jnp.broadcast_to(PP.gcov[None, :], (R2, 4))
 
     def dp(cov):
-        return rel_dp_pass2(bpos, bcnt, epos, ecnt, U["max_cc"],
-                            U["lf_bcnt"], logpE, m, plen,
-                            fwd, cov, P, max_m)[0]
+        a, _, mm = rel_dp_pass2(bpos, bcnt, epos, ecnt, U["max_cc"],
+                                U["lf_bcnt"], logpE, m, plen,
+                                fwd, cov, P, max_m)
+        return a.astype(jnp.int32), mm
 
-    asgn = dp(cov_t).astype(jnp.int32)
+    asgn, mm1 = dp(cov_t)
     l_arr = jnp.abs(epos - bpos) + 1        # interval lengths (invariant)
 
     def dsum(a, state):
@@ -185,10 +186,14 @@ def _rel_pipeline(U, PP: PipelineParams, R2: int, max_m: int):
         jnp.where(rescue, anchor_cnt, cov2[:, HAPLO]))
     cov2 = cov2.at[:, DIPLO].set(
         jnp.where(rescue, anchor_cnt + PP.gcov[HAPLO], cov2[:, DIPLO]))
-    asgn2 = jax.lax.cond(jnp.any(rescue),
-                         lambda: dp(cov2).astype(jnp.int32),
-                         lambda: asgn)
+    asgn2, mm2 = jax.lax.cond(jnp.any(rescue),
+                              lambda: dp(cov2),
+                              lambda: (asgn, mm1))
     asgn = jnp.where(rescue[:, None], asgn2, asgn)
+    # rescued rows' decisions came from BOTH passes (pass 1 triggered
+    # the rescue); their guard margin is the min of the two
+    rshape = rescue if mm1.ndim == 1 else rescue[:, None]
+    mm = jnp.where(rshape, jnp.minimum(mm1, mm2), mm1)
     # second no-h check -> demote D to H (class_rel.c:650-669)
     no_h2 = rescue & ~jnp.any(inb & (asgn == HAPLO), axis=1)
     lsum2, csum2, _ = dsum(asgn, DIPLO)
@@ -222,7 +227,7 @@ def _rel_pipeline(U, PP: PipelineParams, R2: int, max_m: int):
     # sits exactly on the comparison boundary for symmetric reads, and
     # this backend's non-correctly-rounded f64 division (x/x can be
     # 1-128ulp) flips such ties vs the reference's IEEE arithmetic.
-    return asgn   # (2R, max_m)
+    return asgn, mm   # (2R, max_m), (2R,) exactness-guard margins
 
 
 def _reconcile_dev(asgn, m, bcnt, ecnt, fwd, R: int, max_m: int):
@@ -377,9 +382,16 @@ def _rel_only_core(fblob, iblob, PP: PipelineParams, R: int, max_m: int):
 
     iblob (int32): b,e,ccb,cce [4 x R*max_m] | m [R] | plen [R]
     fblob (f64):   pe [R*max_m]
-    Returns asgn (2R, max_m) int8: fw rows then bw rows (bw in scan
-    order).  The caller reconciles on the host (reconcile_fwbw) — the
-    hdrr tie test needs IEEE division (see _reconcile_dev docstring).
+    Returns (asgn (2R, max_m) int8 — fw rows then bw rows in scan
+    order; margins (2R,) f64 — the exactness-guard min flip distance
+    per row).  The caller reconciles on the host (reconcile_fwbw, IEEE
+    division) and host-recomputes rows whose margin is below epsilon
+    with the exact oracle: the interpolated Skellam table (~1e-9) and
+    this backend's non-IEEE division cannot flip a decision whose
+    margin exceeds epsilon, and anything closer is decided by the same
+    bit-exact arithmetic as the reference (fuzz seed 8339: an exact f64
+    tie between two different expressions, resolved by C's
+    first-wins order, is unreproducible from perturbed values).
     """
     sz = R * max_m
     b = iblob[0:sz].reshape(R, max_m).astype(jnp.int64)
@@ -414,7 +426,8 @@ def _rel_only_core(fblob, iblob, PP: PipelineParams, R: int, max_m: int):
         "plen": jnp.concatenate([plen, plen]),
         "fwd": jnp.concatenate([jnp.ones(R, bool), jnp.zeros(R, bool)]),
     }
-    return _rel_pipeline(U, PP, 2 * R, max_m).astype(jnp.int8)
+    asgn, mm = _rel_pipeline(U, PP, 2 * R, max_m)
+    return asgn.astype(jnp.int8), mm
 
 
 @functools.partial(jax.jit, static_argnames=("R", "max_m"))
@@ -470,7 +483,10 @@ def classify_batch_dev(fblob, iblob, PP: PipelineParams,
     """Single-program pipeline (no step compaction): used by the
     data-parallel mesh path.  Returns final asgn (Bn, max_n) int8."""
     U = _unpack(fblob, iblob, Bn, max_n, R2, max_m)
-    rel2 = _rel_pipeline(U, PP, R2, max_m)
+    # fallback/mesh path: the exactness-guard margins are not consumed
+    # here (no host in the loop) — production streaming uses
+    # rel_only_dev + the engine's host recompute instead
+    rel2, _ = _rel_pipeline(U, PP, R2, max_m)
     rel_out = _reconcile_dev(rel2, U["m"], U["bcnt"], U["ecnt"],
                              U["fwd"], R2 // 2, max_m)
     asgn_un = jnp.full((Bn, max_n), N_STATE, jnp.int32)

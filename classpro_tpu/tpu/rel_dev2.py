@@ -75,6 +75,64 @@ class RelParams2(NamedTuple):
     dr_ratio: float
 
 
+# Exactness guard (see tpu/device_pipeline.rel_only_dev): every argmax
+# and int-truncation whose inputs pass through the interpolated Skellam
+# table (error ~1e-9) or the backend's non-correctly-rounded division
+# (~128 ulp) is margin-tracked; a row whose minimum margin falls below
+# the engine's epsilon is recomputed on the host with exact arithmetic.
+# Found by fuzz seed 8339: an EXACT f64 tie between two *different*
+# expressions at a predecessor argmax — C resolves ties by order, and
+# table-perturbed values broke the tie the other way.
+TRUNC_EPS_NOTE = "int-trunc args are flagged via the same margin vector"
+
+
+def _top2_margin(x, axis):
+    """top1 - top2 along ``axis``: the flip distance of that argmax.
+    +inf when fewer than two finite candidates (nothing to flip to);
+    0 when NaN-poisoned (conservative: always flag)."""
+    s = jnp.sort(x, axis=axis)
+    n = s.shape[axis]
+    top1 = jax.lax.index_in_dim(s, n - 1, axis, keepdims=False)
+    top2 = jax.lax.index_in_dim(s, n - 2, axis, keepdims=False)
+    mgn = top1 - top2
+    mgn = jnp.where(jnp.isneginf(top2), jnp.inf, mgn)
+    # margin EXACTLY 0 = bit-equal tie: both sides hold identical
+    # doubles and resolve first-wins identically (safe, not flagged);
+    # NaN-poisoned comparisons get a tiny positive margin (flagged)
+    return jnp.where(jnp.isnan(mgn), 1e-30, mgn)
+
+
+def _two_prod(a, b):
+    """Dekker two-product: a*b = hi + lo EXACTLY (no FMA needed;
+    add/mul/sub are correctly rounded on this backend, division is
+    not)."""
+    hi = a * b
+    c = 134217729.0                 # 2^27 + 1 (Veltkamp split)
+    a1 = a * c
+    ah = a1 - (a1 - a)
+    al = a - ah
+    b1 = b * c
+    bh = b1 - (b1 - b)
+    bl = b - bh
+    lo = ((ah * bh - hi) + ah * bl + al * bh) + al * bl
+    return hi, lo
+
+
+def _div_cr(a, b):
+    """Correctly-rounded f64 division.  This backend's native divide
+    can be off by O(100) ulp (BASELINE_MEASURED.md: x/x = 1 - 128 ulp),
+    which breaks bit-parity wherever a quotient feeds an int truncation
+    or an exact comparison (the reference's libm division is IEEE).
+    One Newton step with an exact Dekker-product residual recovers the
+    IEEE result (residual r = a - q*b is exact; q + r/b rounds to
+    RN(a/b) whenever the native q is within ~2^40 ulp)."""
+    q = a / b
+    hi, lo = _two_prod(q, b)
+    r = (a - hi) - lo
+    out = q + r / b
+    return jnp.where(jnp.isfinite(q), out, q)
+
+
 def _lf_oh(idx, lf_small):
     """logfact[idx] by exact one-hot contraction (idx < lf_small.size)."""
     n1 = lf_small.shape[0]
@@ -158,12 +216,13 @@ def _lane_init(L, P: RelParams2):
 
     dp0 = jnp.stack([dpE, dpR, dpH, dpD], axis=1)
     dh0 = jnp.full((B, 4), NEG_INF)
-    return (dp0, dh0, regs_i, regs_b, e2)
+    mm0 = jnp.full((B,), jnp.inf)   # running min decision margin
+    return (dp0, dh0, regs_i, regs_b, e2, mm0)
 
 
 def _lane_step(carry, xs, consts, P: RelParams2):
     """One DP step (class_rel.c:279-513) for one lane."""
-    dp, dh, regs_i, regs_b, eff = carry
+    dp, dh, regs_i, regs_b, eff, mmin = carry
     bpos_i, bcnt_i, epos_i, ecnt_i, max_cc_i, lf_b_i, logpE_i, i = xs
     cov, fwd = consts["cov"], consts["fwd"]
     OFF, PSTEP = consts["OFF"], consts["PSTEP"]
@@ -237,11 +296,42 @@ def _lane_step(carry, xs, consts, P: RelParams2):
         jnp.where(jnp.arange(4)[None, None, :] == ERROR,
                   jnp.log(0.25), NEG_INF), logp_tr)
 
+    # C normalizes via exp(logp) (class_rel.c:321-336): ANY entry below
+    # the exp-underflow cutoff is exactly dead there (exp -> 0.0 ->
+    # log(0/psum) = -inf), not only all-16 rows.  Replicate the cut —
+    # a raw -800 entry must not outlive entries C kills.  Just above
+    # the cutoff C's exp() result is DENORMAL (raw < ~-708): its
+    # quantization distorts C's comparison values by up to ~0.7 nats
+    # near the cutoff, so rows with live entries in that band are
+    # flagged for exact host recompute instead of certified by margin.
+    m_band = jnp.where(
+        jnp.any((logp_tr > -745.2) & (logp_tr < -719.0), axis=(1, 2)),
+        1e-30, jnp.inf)
+    logp_tr = jnp.where(logp_tr < -745.13, NEG_INF, logp_tr)
+
     # ---- only_r (class_rel.c:348-356)
     scores = dp[:, :, None] + logp_tr
     best_t = jnp.argmax(scores, axis=2)
     dead_s = jnp.max(scores, axis=2) == NEG_INF
     only_r = jnp.all(dead_s | (best_t == REPEAT), axis=1)
+    # exactness guard: per s the only_r question is BINARY — does
+    # REPEAT-or-dead beat every other target — and the reference breaks
+    # at the first non-REPEAT row (class_rel.c:348-356), so only rows
+    # whose predecessors all answered REPEAT/dead can flip the outcome.
+    # (A near-tie between two non-REPEAT targets is irrelevant here; it
+    # is guarded at the per-target pick below.)
+    sc_rep = scores[:, :, REPEAT]
+    sc_oth = jnp.max(
+        jnp.where(iota4[:, None, :] == REPEAT, NEG_INF, scores), axis=2)
+    m_or = jnp.abs(sc_rep - sc_oth)
+    m_or = jnp.where(jnp.isneginf(sc_rep) | jnp.isneginf(sc_oth),
+                     jnp.inf, m_or)
+    m_or = jnp.where(jnp.isnan(m_or), 1e-30, m_or)
+    rep_s = dead_s | (best_t == REPEAT)
+    prefix_ok = jnp.cumprod(jnp.concatenate(
+        [jnp.ones((B, 1), jnp.int32), rep_s[:, :3].astype(jnp.int32)],
+        axis=1), axis=1) > 0
+    m_onlyr = jnp.min(jnp.where(prefix_ok, m_or, jnp.inf), axis=1)
 
     # ---- HH/DD coupling (class_rel.c:383-386)
     colH = scores[:, :, HAPLO]
@@ -251,6 +341,18 @@ def _lane_step(carry, xs, consts, P: RelParams2):
     maxs_d = jnp.where(jnp.max(colD, axis=1) == NEG_INF, N_STATE,
                        jnp.argmax(colD, axis=1))
     couple = (maxs_h == HAPLO) & (maxs_d == DIPLO)
+    # exactness guard: the coupling trigger asks only whether row
+    # HAPLO tops colH and row DIPLO tops colD — binary margins
+    def _bin_margin(col, idx):
+        own = col[:, idx]
+        oth = jnp.max(jnp.where(jnp.arange(4)[None, :] == idx,
+                                NEG_INF, col), axis=1)
+        d = jnp.abs(own - oth)
+        d = jnp.where(jnp.isneginf(own) | jnp.isneginf(oth), jnp.inf, d)
+        return jnp.where(jnp.isnan(d), 1e-30, d)
+
+    m_coup = jnp.minimum(_bin_margin(colH, HAPLO),
+                         _bin_margin(colD, DIPLO))
     mcoup = jnp.minimum(logp_tr[:, HAPLO, HAPLO],
                         logp_tr[:, DIPLO, DIPLO])
     logp_tr = logp_tr.at[:, HAPLO, HAPLO].set(
@@ -264,6 +366,8 @@ def _lane_step(carry, xs, consts, P: RelParams2):
     max_v = jnp.max(scores, axis=1)
     dead_t = max_v == NEG_INF
     sel = jnp.where(dead_t, 0, max_s)
+    # exactness guard: flip distance of each per-target predecessor pick
+    m_sel = jnp.min(_top2_margin(scores, axis=1), axis=1)
 
     regs_i_n = _sel4(regs_i, sel)
     regs_b_n = _sel4(regs_b, sel)
@@ -310,9 +414,11 @@ def _lane_step(carry, xs, consts, P: RelParams2):
         s1p_, s1c_ = (jnp.where(fwd, s1p, s2p), jnp.where(fwd, s1c, s2c))
         s2p_, s2c_ = (jnp.where(fwd, s2p, s1p), jnp.where(fwd, s2c, s1c))
         est = (s2c_.astype(jnp.float64)
-               + (s1c_ - s2c_).astype(jnp.float64)
-               * (tp - s2p_) / (s1p_ - s2p_))
-        r = est / tc if init_s == DIPLO else tc / est
+               + _div_cr(((s1c_ - s2c_) * (tp - s2p_)).astype(jnp.float64),
+                         (s1p_ - s2p_).astype(jnp.float64)))
+        tcf = tc.astype(jnp.float64)
+        r = (_div_cr(est, tcf) if init_s == DIPLO
+             else _div_cr(tcf, est))
         return jnp.where(ok, r, NEG_INF)
 
     rH = dh_ratio_of(HAPLO)
@@ -329,7 +435,7 @@ def _lane_step(carry, xs, consts, P: RelParams2):
     # DIPLO target (class_rel.c:460-493)
     curr_d_D = ecnt_i
     curr_h_D = jnp.where(
-        rD != NEG_INF, (curr_d_D / rD).astype(jnp.int64),
+        rD != NEG_INF, (_div_cr(curr_d_D.astype(jnp.float64), rD)).astype(jnp.int64),
         jnp.where(hasH_n[:, DIPLO], st_cnt_n[:, DIPLO, HAPLO],
                   jnp.maximum(curr_d_D // 2, curr_d_D - covH)))
     curr_r_D = (P.dr_ratio * curr_d_D).astype(jnp.int64)
@@ -398,12 +504,21 @@ def _lane_step(carry, xs, consts, P: RelParams2):
         return jnp.where(live.reshape(shape),
                          jnp.where(only_r.reshape(shape), onr, upd), old)
 
+    # exactness guard: the only_r decision margin always counts; the
+    # selection/coupling/truncation margins only matter when the step
+    # actually selects (not only_r)
+    step_margin = jnp.minimum(
+        jnp.minimum(m_onlyr, m_band),
+        jnp.where(only_r, jnp.inf, jnp.minimum(m_coup, m_sel)))
+    mmin_n = jnp.where(live, jnp.minimum(mmin, step_margin), mmin)
+
     carry_n = (
         pick(new_dp, dp, dp),
         pick(new_dh, jnp.full((B, 4), NEG_INF), dh),
         pick(new_regs_i, o_regs_i, regs_i),
         pick(new_regs_b, o_regs_b, regs_b),
         pick(jnp.stack([epos_i, ecnt_i], axis=1), eff, eff),
+        mmin_n,
     )
     bp = jnp.where(live[:, None],
                    jnp.where(only_r[:, None], iota4,
@@ -427,7 +542,10 @@ def rel_dp_pass2(bpos, bcnt, epos, ecnt, max_cc, lf_bcnt, logpE_all,
     ``lanes`` splits the rows into independent carry chains whose
     latencies overlap inside the single scan (B must divide by lanes).
 
-    Returns (asgn int8 (B,max_m) in scan order, final dp (B,4)).
+    Returns (asgn int8 (B,max_m) in scan order, final dp (B,4),
+    min decision margin (B,) — the exactness-guard vector: the smallest
+    flip distance over every argmax/truncation this row's scan made;
+    rows below the engine's epsilon are host-recomputed exactly).
     """
     B = bpos.shape[0]
     fwd = fwd.astype(bool)
@@ -496,10 +614,14 @@ def rel_dp_pass2(bpos, bcnt, epos, ecnt, max_cc, lf_bcnt, logpE_all,
     # ---------------- traceback (class_rel.c:606-613) --------------------
     asgns = []
     dps = []
+    mms = []
     for s in range(lanes):
         bps, rposs = outs[s]
         dp_f = carry_f[s][0]
         dps.append(dp_f)
+        # row margin = min(step margins, final state argmax margin)
+        mms.append(jnp.minimum(carry_f[s][5],
+                               _top2_margin(dp_f, axis=1)))
         bps = jnp.moveaxis(bps, 0, 1)       # (Lb, max_m-1, 4)
         rpos = jnp.concatenate(
             [jnp.zeros((Lb, 1), bool), jnp.moveaxis(rposs, 0, 1)], axis=1)
@@ -532,4 +654,5 @@ def rel_dp_pass2(bpos, bcnt, epos, ecnt, max_cc, lf_bcnt, logpE_all,
             [state0[:, None], buf[:, 1:]], axis=1).astype(jnp.int8)
         asgn = jnp.where(rpos, jnp.int8(REPEAT), asgn)
         asgns.append(asgn)
-    return jnp.concatenate(asgns, axis=0), jnp.concatenate(dps, axis=0)
+    return (jnp.concatenate(asgns, axis=0), jnp.concatenate(dps, axis=0),
+            jnp.concatenate(mms, axis=0))

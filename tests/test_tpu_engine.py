@@ -314,11 +314,14 @@ def test_rel_pair_dev_matches_two_singles():
     assert all(b[1] == R and b[2] == max_m for b in blobs), \
         "tiny fixture chunks should land in one bucket"
     (fb1, ib1), (fb2, ib2) = blobs[0][0], blobs[1][0]
-    w1 = np.asarray(rel_only_dev(fb1, ib1, eng.pp, R=R, max_m=max_m))
-    w2 = np.asarray(rel_only_dev(fb2, ib2, eng.pp, R=R, max_m=max_m))
-    p1, p2 = rel_pair_dev(fb1, ib1, fb2, ib2, eng.pp, R=R, max_m=max_m)
-    assert np.array_equal(np.asarray(p1), w1)
-    assert np.array_equal(np.asarray(p2), w2)
+    w1, mm1 = rel_only_dev(fb1, ib1, eng.pp, R=R, max_m=max_m)
+    w2, mm2 = rel_only_dev(fb2, ib2, eng.pp, R=R, max_m=max_m)
+    (p1, q1), (p2, q2) = rel_pair_dev(fb1, ib1, fb2, ib2, eng.pp,
+                                      R=R, max_m=max_m)
+    assert np.array_equal(np.asarray(p1), np.asarray(w1))
+    assert np.array_equal(np.asarray(p2), np.asarray(w2))
+    assert np.array_equal(np.asarray(q1), np.asarray(mm1))
+    assert np.array_equal(np.asarray(q2), np.asarray(mm2))
 
 
 def test_grouped_stream_matches_ungrouped():
@@ -382,3 +385,27 @@ def test_multidevice_round_robin_matches_single():
     assert run(eng) == want
     # every device got at least one chunk
     assert eng._rr >= len(devs)
+
+
+def test_exact_tie_guard_read94():
+    """Regression for fuzz seed 8339 read 94: the forward DP hits an
+    EXACT f64 tie between two *different* expressions at a predecessor
+    argmax (both sum to -33.443777191362784); C's first-wins order keeps
+    HAPLO, while interpolated-table values break the tie arbitrarily.
+    The device's exactness guard must flag the row (margin 0 < eps) and
+    the engine recompute it with the oracle, byte-matching the
+    reference."""
+    import gzip
+
+    from classpro_tpu.estimation import build_global_model
+    from classpro_tpu.io.fastk import load_histogram
+    from classpro_tpu.tpu.engine import TpuEngine
+
+    fx = FIX / "tie8339"
+    gm = build_global_model(load_histogram(str(fx / "reads")))
+    seq = gzip.open(fx / "read94.fa.gz", "rt").read().split("\n")[1]
+    prof = np.load(fx / "prof94.npy")
+    golden = gzip.open(fx / "golden94.txt.gz", "rt").read().rstrip("\n")
+    eng = TpuEngine(gm)
+    got = eng.classify_chunk([seq], [prof])[0]
+    assert got == golden
