@@ -1246,7 +1246,7 @@ static void u_update_state(const UnrelGlob& G, const OutIntvl* iv,
       U.logpE[idx] = u_logp_e(G, I);
     }
     // same scan order as the reference: E, R, H, D
-    double logpmax = NEG_INF;
+    double logpmax = NEG_INF, runner = NEG_INF;
     int smax = -1;
     for (int s = 0; s < 4; s++) {
       double logp;
@@ -1261,8 +1261,44 @@ static void u_update_state(const UnrelGlob& G, const OutIntvl* iv,
         logp = u_hd_combine(G, I, asgn, N, idx, U_DIPLO, M.statD_l,
                             M.statD_r);
       if (logpmax < logp) {
+        runner = logpmax;
         logpmax = logp;
         smax = s;
+      } else if (runner < logp) {
+        runner = logp;
+      }
+    }
+    // exactness guard (same contract as the device DP's, see
+    // tpu/rel_dev2.py): the H/D static legs pass through the Skellam
+    // interpolation table (~1e-9 error, sk_logp_skellam); an argmax
+    // margin below 1e-5 is re-decided with exact Bessel terms — the
+    // reference binary's own arithmetic — including its first-wins
+    // tie order.  Everything else here (logpE, logpR, the combine
+    // gates) is already bit-exact vs the reference.
+    if (G.sk.ta != nullptr && smax != -1 && runner != NEG_INF &&
+        logpmax - runner < 1e-5) {
+      UnrelGlob Gx = G;
+      Gx.sk.ta = nullptr;
+      Gx.sk.tb = nullptr;
+      double shl, shr, sdl, sdr;
+      u_hd_static(Gx, iv, idx, U_HAPLO, lH, rH, lD, rD, &shl, &shr);
+      u_hd_static(Gx, iv, idx, U_DIPLO, lD, rD, lH, rH, &sdl, &sdr);
+      logpmax = NEG_INF;
+      smax = -1;
+      for (int s = 0; s < 4; s++) {
+        double logp;
+        if (s == U_ERROR)
+          logp = U.logpE[idx];
+        else if (s == U_REPEAT)
+          logp = M.logpR;
+        else if (s == U_HAPLO)
+          logp = u_hd_combine(G, I, asgn, N, idx, U_HAPLO, shl, shr);
+        else
+          logp = u_hd_combine(G, I, asgn, N, idx, U_DIPLO, sdl, sdr);
+        if (logpmax < logp) {
+          logpmax = logp;
+          smax = s;
+        }
       }
     }
     if (smax != -1 && asgn[idx] != smax) asgn[idx] = (int8_t)smax;
