@@ -90,10 +90,14 @@ def _top2_margin(x, axis):
     """top1 - top2 along ``axis``: the flip distance of that argmax.
     +inf when fewer than two finite candidates (nothing to flip to);
     0 when NaN-poisoned (conservative: always flag)."""
-    s = jnp.sort(x, axis=axis)
-    n = s.shape[axis]
-    top1 = jax.lax.index_in_dim(s, n - 1, axis, keepdims=False)
-    top2 = jax.lax.index_in_dim(s, n - 2, axis, keepdims=False)
+    top1k = jnp.max(x, axis=axis, keepdims=True)
+    am = jnp.argmax(x, axis=axis)                  # first max instance
+    n = x.shape[axis]
+    sh = [1] * x.ndim
+    sh[axis] = n
+    oh = jnp.expand_dims(am, axis) == jnp.arange(n).reshape(sh)
+    top2 = jnp.max(jnp.where(oh, -jnp.inf, x), axis=axis)
+    top1 = jnp.squeeze(top1k, axis)
     mgn = top1 - top2
     mgn = jnp.where(jnp.isneginf(top2), jnp.inf, mgn)
     # margin EXACTLY 0 = bit-equal tie: both sides hold identical
