@@ -15,7 +15,10 @@ its result round trip (the ctypes calls and the background fetch
 thread's device wait all release the GIL).  `classify_chunk` is the
 synchronous single-chunk form; `_chunk_alldev` is a no-compiler
 fallback that runs relaxation on device too (classify_batch_dev, also
-used by the data-parallel mesh path).
+used by the data-parallel mesh path).  NOTE: only the production
+stream carries the exactness guard (near-tie host recompute); the
+all-device fallback/mesh path documents that caveat instead — its
+margins are not consumed (no host in its loop).
 
 Interval arrays are padded to bucketed shapes to bound jit
 recompilation.  Byte-identity vs the reference binary is a measured
