@@ -615,6 +615,13 @@ class TpuEngine:
         rc = getattr(self, "_exact_rel", None)
         if rc is None:
             rc = self._exact_rel = RelClassifier(self.gm)
+        if self.verbose:
+            import sys
+
+            n = int(flagged.sum())
+            print(f"exactness guard: {n} read(s) within the decision-"
+                  f"margin epsilon — recomputing exactly on the host",
+                  file=sys.stderr)
         g, slab, slot = st["g"], st["slab"], st["slot"]
         n_out, n_rel = st["n_out"], st["n_rel"]
         live = np.nonzero(n_rel > 0)[0]          # row j -> slab read
