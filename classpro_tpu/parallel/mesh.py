@@ -83,7 +83,9 @@ def sharded_classify(mesh: Mesh, fblobs: np.ndarray, iblobs: np.ndarray,
 
     fblobs (D, Lf) / iblobs (D, Li): one transfer-blob pair per device
     (each packs that device's read shard — engine.pack_chunk layout);
-    dims are the per-shard static dims.  Returns (D, Bn, max_n) int8.
+    dims are the per-shard static dims.  Returns ((D, Bn, max_n) int8,
+    (D, Bn) bool exactness-guard flags — reads the caller must
+    reclassify with the exact oracle).
     Zero collectives: each device classifies its own shard (the blob
     axis is sharded over dp, so XLA partitions the vmapped program
     one shard per device)."""
@@ -94,5 +96,6 @@ def sharded_classify(mesh: Mesh, fblobs: np.ndarray, iblobs: np.ndarray,
 
     fn = jax.jit(
         jax.vmap(lambda f, i: classify_batch_dev(f, i, PP, *dims)),
-        out_shardings=NamedSharding(mesh, P("dp", None, None)))
+        out_shardings=(NamedSharding(mesh, P("dp", None, None)),
+                       NamedSharding(mesh, P("dp", None))))
     return fn(fb, ib)

@@ -481,12 +481,13 @@ def rel_group_dev(fblobs, iblobs, PP: PipelineParams, R: int, max_m: int):
 def classify_batch_dev(fblob, iblob, PP: PipelineParams,
                        Bn: int, max_n: int, R2: int, max_m: int):
     """Single-program pipeline (no step compaction): used by the
-    data-parallel mesh path.  Returns final asgn (Bn, max_n) int8."""
+    no-native fallback and the data-parallel mesh path.  Returns
+    (final asgn (Bn, max_n) int8, flags (Bn,) bool — reads whose rel
+    or relaxation decisions fell inside the exactness-guard epsilon;
+    callers recompute those with the exact oracle)."""
+    EPS = 1e-5   # matches TpuEngine.REL_MARGIN_EPS
     U = _unpack(fblob, iblob, Bn, max_n, R2, max_m)
-    # fallback/mesh path: the exactness-guard margins are not consumed
-    # here (no host in the loop) — production streaming uses
-    # rel_only_dev + the engine's host recompute instead
-    rel2, _ = _rel_pipeline(U, PP, R2, max_m)
+    rel2, rel_mm = _rel_pipeline(U, PP, R2, max_m)
     rel_out = _reconcile_dev(rel2, U["m"], U["bcnt"], U["ecnt"],
                              U["fwd"], R2 // 2, max_m)
     asgn_un = jnp.full((Bn, max_n), N_STATE, jnp.int32)
@@ -497,4 +498,15 @@ def classify_batch_dev(fblob, iblob, PP: PipelineParams,
              "P13": P13, "packL": packL, "packR": packR}
     xs_desc = {"idx": U["idx_desc"], "live": U["live"] != 0}
     xs_asc = {"idx": U["idx_asc"], "live": U["live"] != 0}
-    return unrel_sweeps2(undyn, xs_desc, xs_asc, U["n"], PP.unrel, max_n)
+    out, un_mm = unrel_sweeps2(undyn, xs_desc, xs_asc, U["n"],
+                               PP.unrel, max_n)
+
+    def risky(v):
+        return (v > 0.0) & (v < EPS)
+
+    R = R2 // 2
+    rel_risky = risky(rel_mm[:R]) | risky(rel_mm[R:])
+    f = risky(un_mm).astype(jnp.int32)
+    f = f.at[U["rel_rows"]].max(rel_risky.astype(jnp.int32),
+                                mode="drop")
+    return out, f > 0

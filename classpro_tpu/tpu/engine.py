@@ -15,10 +15,11 @@ its result round trip (the ctypes calls and the background fetch
 thread's device wait all release the GIL).  `classify_chunk` is the
 synchronous single-chunk form; `_chunk_alldev` is a no-compiler
 fallback that runs relaxation on device too (classify_batch_dev, also
-used by the data-parallel mesh path).  NOTE: only the production
-stream carries the exactness guard (near-tie host recompute); the
-all-device fallback/mesh path documents that caveat instead — its
-margins are not consumed (no host in its loop).
+used by the data-parallel mesh path).  Every path carries the
+exactness guard: the stream recomputes flagged rows' rel stage with
+the exact oracle; the all-device paths return per-read flags from
+classify_batch_dev and flagged reads are reclassified whole by the
+oracle.
 
 Interval arrays are padded to bucketed shapes to bound jit
 recompilation.  Byte-identity vs the reference binary is a measured
@@ -708,15 +709,24 @@ class TpuEngine:
             rows = [i for i in g if len(ivs[i]) > 0]
             if rows:
                 pending.append(self._dispatch(rows, ivs, nrels, profiles))
-        # ONE combined fetch (each separate synchronisation costs a
-        # round trip)
-        out_all = _fetch_flat([o for o, _ in pending])
-        off = 0
-        for out, meta in pending:
+        # ONE combined fetch per payload (each separate synchronisation
+        # costs a round trip)
+        out_all = _fetch_flat([o for o, _f, _m in pending])
+        flg_all = _fetch_flat([f for _o, f, _m in pending])
+        off = foff = 0
+        for out, flags, meta in pending:
             cnt = int(np.prod(out.shape))
             self._expand(out_all[off: off + cnt].reshape(out.shape),
                          meta, res, K)
             off += cnt
+            # exactness guard (same contract as the stream path):
+            # flagged reads are recomputed by the exact oracle
+            rows = meta[0]
+            fl = flg_all[foff: foff + int(flags.shape[0])]
+            foff += int(flags.shape[0])
+            for r, i in enumerate(rows):
+                if fl[r]:
+                    res[i] = self._exact_full(seqs[i], profiles[i])
 
     # ------------------------------------------------------------------
     def _dispatch(self, rows, ivs, nrels, profiles):
@@ -724,8 +734,18 @@ class TpuEngine:
         the device program (async; caller synchronises)."""
         fblob, iblob, dims, meta = pack_chunk(rows, ivs, nrels,
                                               [len(p) for p in profiles])
-        out = classify_batch_dev(fblob, iblob, self.pp, *dims)
-        return out, meta
+        out, flags = classify_batch_dev(fblob, iblob, self.pp, *dims)
+        return out, flags, meta
+
+    def _exact_full(self, seq, profile) -> str:
+        """Whole-read exact-oracle classification (guard fallback for
+        the all-device path)."""
+        from classpro_tpu.exact.pipeline import ReadClassifier
+
+        rc = getattr(self, "_exact_full_rc", None)
+        if rc is None:
+            rc = self._exact_full_rc = ReadClassifier(self.gm)
+        return rc.classify(seq, profile)
 
     # ------------------------------------------------------------------
     def _expand(self, asgn_fin, meta, res, K):

@@ -29,6 +29,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from classpro_tpu.tpu.rel_dev2 import _div_cr, _top2_margin
 from classpro_tpu.tpu.skellam_dev import PackedSkellam, logp_skellam_packed
 
 ERROR, REPEAT, HAPLO, DIPLO, N_STATE = 0, 1, 2, 3, 4
@@ -81,7 +82,8 @@ def unrel_sweeps2(dyn, xs_desc, xs_asc, n, P: UnrelParams2, max_n: int,
     ``lanes`` splits rows into independent carry chains whose gather and
     op latencies overlap inside the single scan (see rel_dev2.py).
 
-    Returns final asgn (B, N) int8.
+    Returns (final asgn (B, N) int8, min decision margin (B,) — the
+    exactness-guard vector, rel_dev2.py semantics).
     """
     B = n.shape[0]
     assert B % lanes == 0
@@ -99,27 +101,30 @@ def unrel_sweeps2(dyn, xs_desc, xs_asc, n, P: UnrelParams2, max_n: int,
 
         def sweep(asgns, which):
             def body(a_t, x_t):
-                out = []
+                out, ms = [], []
                 for s in range(lanes):
-                    out.append(runners[s](a_t[s], x_t[s]))
-                return tuple(out), None
+                    a2, m = runners[s](a_t[s], x_t[s])
+                    out.append(a2)
+                    ms.append(m)
+                return tuple(out), tuple(ms)
             xs_t = tuple(c.xs[which] for c in carries)
-            a, _ = jax.lax.scan(body, tuple(asgns), xs_t)
-            return a
+            a, ms = jax.lax.scan(body, tuple(asgns), xs_t)
+            return a, tuple(jnp.min(m, axis=0) for m in ms)
 
         asgns = tuple(c.asgn0 for c in carries)
-        asgns = sweep(asgns, 0)
-        asgns = sweep(asgns, 1)
-        return jnp.concatenate([a.astype(jnp.int8) for a in asgns], axis=0)
+        asgns, mm1 = sweep(asgns, 0)
+        asgns, mm2 = sweep(asgns, 1)
+        mm = jnp.concatenate([jnp.minimum(a, b)
+                              for a, b in zip(mm1, mm2)], axis=0)
+        return (jnp.concatenate([a.astype(jnp.int8) for a in asgns],
+                                axis=0), mm)
 
     carry, runner = _unrel_lane(dyn, xs_desc, xs_asc, n, P, max_n)
 
-    def body(a, x):
-        return runner(a, x), None
-
-    a, _ = jax.lax.scan(body, carry.asgn0, carry.xs[0])
-    a, _ = jax.lax.scan(body, a, carry.xs[1])
-    return a.astype(jnp.int8)
+    a, ms1 = jax.lax.scan(runner, carry.asgn0, carry.xs[0])
+    a, ms2 = jax.lax.scan(runner, a, carry.xs[1])
+    mm = jnp.minimum(jnp.min(ms1, axis=0), jnp.min(ms2, axis=0))
+    return a.astype(jnp.int8), mm
 
 
 class _LaneState(NamedTuple):
@@ -210,7 +215,7 @@ def _unrel_lane(dyn, xs_desc, xs_asc, n, P: UnrelParams2, max_n: int):
                         V4[:, 3, 1], V4[:, 3, 1]], axis=1)
         l_ok, r_ok = lj != -1, rj != -1
         both = l_ok & r_ok
-        interp = (Lc + (Rc - Lc) * (xq4 - Le) / (Rb - Le))
+        interp = Lc + _div_cr((Rc - Lc) * (xq4 - Le), Rb - Le)
         val4 = jnp.where(both, interp.astype(jnp.int64),
                          jnp.where(l_ok, Lc.astype(jnp.int64),
                                    jnp.where(r_ok, Rc.astype(jnp.int64), 0)))
@@ -256,9 +261,8 @@ def _unrel_lane(dyn, xs_desc, xs_asc, n, P: UnrelParams2, max_n: int):
                          jnp.where(logp_r_ == NEG_INF, lp_l, logp_r_))
         lHD_ = lp_l + lp_r                                      # (B,2)
 
-        smax = jnp.argmax(
-            jnp.concatenate([lE[:, None], lR[:, None], lHD_], axis=1),
-            axis=1)
+        cand = jnp.concatenate([lE[:, None], lR[:, None], lHD_], axis=1)
+        smax = jnp.argmax(cand, axis=1)
         force_r = jnp.maximum(icb, ice) >= P.cov_r
         new = jnp.where(force_r, REPEAT, smax).astype(jnp.int32)
 
@@ -267,7 +271,12 @@ def _unrel_lane(dyn, xs_desc, xs_asc, n, P: UnrelParams2, max_n: int):
         upd = jnp.where(active, new, cur)
         asgn = jnp.where(oh_idx & active[:, None], upd[:, None],
                          asgn).astype(jnp.int32)
-        return asgn
+        # exactness-guard margin (same contract as rel_dev2): the
+        # Skellam drift terms carry ~1e-9 table error; a forced-REPEAT
+        # decision is an exact int compare (margin irrelevant)
+        m_step = _top2_margin(cand, axis=1)
+        m_step = jnp.where(force_r | ~active, jnp.inf, m_step)
+        return asgn, m_step
 
     # scan xs: transpose (B, N) -> (N, B) per processing order
     xs = tuple({k: v.T for k, v in o.items()} for o in (xs_desc, xs_asc))
