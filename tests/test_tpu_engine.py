@@ -409,3 +409,33 @@ def test_exact_tie_guard_read94():
     eng = TpuEngine(gm)
     got = eng.classify_chunk([seq], [prof])[0]
     assert got == golden
+
+
+def test_div_cr_is_correctly_rounded():
+    """_div_cr must return the IEEE correctly-rounded quotient even
+    where the backend's native divide is off (BASELINE_MEASURED.md:
+    XLA x/x measured 1 - 128 ulp).  Reference = numpy scalar division
+    (libm/IEEE, what the reference binary computes)."""
+    import numpy as np
+
+    from classpro_tpu.tpu.rel_dev2 import _div_cr
+
+    rng = np.random.default_rng(5)
+    # int-valued operands (the dh-ratio sites), x/x cases, random reals
+    a = np.concatenate([
+        rng.integers(1, 60000, 400).astype(np.float64),
+        np.array([71.0 / 27.0, 1e3, 3.0, 7.0]),
+        rng.uniform(1e-3, 1e6, 400)])
+    b = np.concatenate([
+        rng.integers(1, 60000, 400).astype(np.float64),
+        np.array([71.0 / 27.0, 1e3, 3.0, 7.0]),   # x/x rows
+        rng.uniform(1e-3, 1e6, 400)])
+    import jax.numpy as jnp
+
+    got = np.asarray(_div_cr(jnp.asarray(a), jnp.asarray(b)))
+    want = a / b                                   # numpy = IEEE RN
+    assert (got == want).all(), \
+        f"{int((got != want).sum())} quotients differ from IEEE"
+    # exact-ratio sanity: x/x must be exactly 1
+    assert float(np.asarray(_div_cr(jnp.asarray(71.0 / 27.0),
+                                    jnp.asarray(71.0 / 27.0)))) == 1.0
