@@ -404,11 +404,19 @@ class NativeWall:
         buf = np.empty(int(out_off[-1]), np.uint8)
         rel_ptr = (rel_out.ctypes.data_as(ctypes.c_void_p)
                    if rel_out is not None else None)
+        # CP_EXACT_SK=1: run the relaxation with exact Bessel terms
+        # everywhere (null Skellam tables) — a self-consistency check
+        # of the exactness guard: outputs must match the table path
+        # byte for byte (tests/tools use it; production keeps tables)
+        sk_a = (None if _os.environ.get("CP_EXACT_SK")
+                else self._sk[0].ctypes.data)
+        sk_b = (None if _os.environ.get("CP_EXACT_SK")
+                else self._sk[1].ctypes.data)
         self.lib.cp_finish_batch(
             int(gm.cov[0]), int(gm.cov[1]), int(gm.cov[2]), int(gm.cov[3]),
             float(gm.dr_ratio), gm.read_len, d.r_logp, d.e_po_base,
             d.pe_mean,
-            self._sk[0].ctypes.data, self._sk[1].ctypes.data,
+            sk_a, sk_b,
             self._sk[2].ctypes.data, self._sk[3],
             len(n_out), slab.ctypes.data_as(ctypes.c_void_p), slot,
             n_out.ctypes.data, n_rel.ctypes.data, rel_ptr, max_m,

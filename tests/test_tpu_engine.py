@@ -439,3 +439,25 @@ def test_div_cr_is_correctly_rounded():
     # exact-ratio sanity: x/x must be exactly 1
     assert float(np.asarray(_div_cr(jnp.asarray(71.0 / 27.0),
                                     jnp.asarray(71.0 / 27.0)))) == 1.0
+
+
+def test_relaxation_table_vs_exact_self_consistency(monkeypatch):
+    """CP_EXACT_SK=1 runs the C++ relaxation with exact Bessel terms
+    everywhere.  The exactness guard's contract is that the table path
+    NEVER lets a table-perturbed value decide a close call — so the two
+    paths must agree byte for byte."""
+    from classpro_tpu.estimation import build_global_model
+    from classpro_tpu.io.fastk import load_histogram, open_profiles
+    from classpro_tpu.io.fastx import read_fastx
+    from classpro_tpu.tpu.engine import TpuEngine
+
+    gm = build_global_model(load_histogram(str(FIX / "medium" / "reads")))
+    P = open_profiles(str(FIX / "medium" / "reads"))
+    reads = list(read_fastx(str(FIX / "medium" / "reads.fasta.gz")))[:150]
+    seqs = [r.seq for r in reads]
+    profs = [P.fetch(i) for i in range(150)]
+    eng = TpuEngine(gm, batch_size=150)
+    want = eng.classify_chunk(seqs, profs)
+    monkeypatch.setenv("CP_EXACT_SK", "1")
+    got = eng.classify_chunk(seqs, profs)
+    assert got == want
