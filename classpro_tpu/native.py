@@ -143,6 +143,12 @@ def get_lib():
         lib.cp_fastx_parse.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p]
+        lib.cp_exact_rel.restype = ctypes.c_int
+        lib.cp_exact_rel.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_int, ctypes.c_double,
+            ctypes.c_double, ctypes.c_double, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p]
         lib.cp_seed_ws_new.restype = ctypes.c_void_p
         lib.cp_seed_ws_new.argtypes = []
         lib.cp_seed_ws_free.restype = None
@@ -378,6 +384,28 @@ class NativeWall:
             np.ascontiguousarray(plens, np.int64).ctypes.data, R, max_m,
             iblob.ctypes.data, fblob.ctypes.data)
         return fblob, iblob
+
+    def exact_rel(self, rels: np.ndarray, plen: int) -> np.ndarray:
+        """Exact fw/bw reliable-interval classification (C++ port of the
+        Python oracle exact/rel.py) for ONE read; ``rels`` is a
+        structured _IVDT array holding its rel interval records only.
+        Used by the engine's exactness guard (engine._exact_guard)."""
+        gm = self.gm
+        d = gm.defaults
+        M = len(rels)
+        out = np.empty(M, np.int8)
+        if M == 0:
+            return out
+        rels = np.ascontiguousarray(rels)
+        r = self.lib.cp_exact_rel(
+            int(gm.cov[0]), int(gm.cov[1]), int(gm.cov[2]), int(gm.cov[3]),
+            float(gm.dr_ratio), gm.read_len, d.r_logp, d.e_po_base,
+            d.pe_mean, d.offset,
+            rels.ctypes.data_as(ctypes.c_void_p), M, int(plen),
+            out.ctypes.data_as(ctypes.c_void_p))
+        if r != 0:
+            raise RuntimeError("all DP states impossible at final interval")
+        return out
 
     def finish_batch(self, slab: np.ndarray, slot: int, n_out: np.ndarray,
                      n_rel: np.ndarray, rel_out, max_m: int,

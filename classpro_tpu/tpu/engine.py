@@ -610,12 +610,6 @@ class TpuEngine:
         flagged = risky(mm[:R]) | risky(mm[R:])
         if not flagged.any():
             return
-        from classpro_tpu.exact.rel import RelClassifier
-        from classpro_tpu.exact.wall import Intvl
-
-        rc = getattr(self, "_exact_rel", None)
-        if rc is None:
-            rc = self._exact_rel = RelClassifier(self.gm)
         if self.verbose:
             import sys
 
@@ -626,17 +620,34 @@ class TpuEngine:
         g, slab, slot = st["g"], st["slab"], st["slot"]
         n_out, n_rel = st["n_out"], st["n_rel"]
         live = np.nonzero(n_rel > 0)[0]          # row j -> slab read
+        native = hasattr(self.wall, "exact_rel")
+        if not native:
+            from classpro_tpu.exact.rel import RelClassifier
+            from classpro_tpu.exact.wall import Intvl
+
+            rc = getattr(self, "_exact_rel", None)
+            if rc is None:
+                rc = self._exact_rel = RelClassifier(self.gm)
         for j in np.nonzero(flagged)[0]:
             if j >= len(live):
                 continue                          # padded dead row
             i = int(live[j])
             recs = slab[i * slot: i * slot + int(n_out[i])]
+            rel_recs = recs[recs["is_rel"] != 0]
+            if native:
+                # C++ oracle port (native.exact_rel): ~us per read vs
+                # ~100 ms for the Python oracle — on the live TPU a
+                # recurring flagged read otherwise becomes the
+                # steady-state bottleneck
+                rel_out[j, :len(rel_recs)] = self.wall.exact_rel(
+                    rel_recs, int(st["_plens"][i]))
+                continue
             rels = [Intvl(b=int(r["b"]), e=int(r["e"]), cb=int(r["cb"]),
                           ce=int(r["ce"]), ccb=int(r["ccb"]),
                           cce=int(r["cce"]), is_rel=True,
                           pe=float(r["pe"]), pe_o_b=float(r["pe_o_b"]),
                           pe_o_e=float(r["pe_o_e"]))
-                    for r in recs[recs["is_rel"] != 0]]
+                    for r in rel_recs]
             rc.classify(rels, rels, int(st["_plens"][i]))
             rel_out[j, :len(rels)] = [I.asgn for I in rels]
 

@@ -2379,3 +2379,541 @@ int64_t cp_fastx_parse(const char* buf, int64_t len, int64_t max_rec,
 }
 
 }  // extern "C"
+
+// ===========================================================================
+// Exact reliable-interval classifier: a bit-exact C++ port of the Python
+// oracle classpro_tpu/exact/rel.py (itself a semantic port of the
+// reference class_rel.c:41-963).  Used by the engine's exactness guard
+// to re-decide decision-margin-flagged reads with the reference's exact
+// arithmetic at native speed: the Python oracle costs ~120 ms per read,
+// which on the live TPU platform (device DP ~0.5 ms/chunk) became the
+// steady-state bottleneck whenever a read carries a genuine near-tie.
+// Equivalence with the oracle is pinned per-read by
+// tests/test_exact_rel_native.py; any edit here must keep it green.
+// ===========================================================================
+
+namespace xrel {
+
+constexpr int XE = 0, XR = 1, XH = 2, XD = 3, XN = 4;
+
+struct Glob {
+  int cov[4];
+  double dr_ratio;
+  int read_len;
+  double r_logp, e_po_base, pe_mean;
+  int offset;
+};
+
+// prob.c:33 semantics via numerics.logp_poisson (k clamped, k*log(lam)
+// evaluated left-to-right)
+static inline double x_logp_poisson(int k, int lam) {
+  k = clamp_cnt(k);
+  return k * std::log((double)lam) - lam - g_logfact[k];
+}
+
+static inline double x_logp_binom(int k, int n, double p) {
+  k = clamp_cnt(k);
+  n = clamp_cnt(n);
+  return g_logfact[n] - g_logfact[k] - g_logfact[n - k] +
+         k * std::log(p) + (n - k) * std::log(1 - p);
+}
+
+// util.c:35 via numerics.logp_trans; positions are int64 (they carry
+// +-OFFSET excursions beyond the read)
+static inline double x_logp_trans(int64_t b, int64_t e, int64_t cb,
+                                  int64_t ce, int64_t cov, int read_len) {
+  double lam = (double)cov * (double)std::llabs(e - b) / read_len;
+  return logp_skellam((int)(ce - cb), lam);
+}
+
+// util.c:24 — cnt1 + (cnt2-cnt1)*(x-pos1)/(pos2-pos1), mult before div
+static inline double x_lin_interp(int64_t x, int64_t pos1, int64_t cnt1,
+                                  int64_t pos2, int64_t cnt2) {
+  return (double)cnt1 + ((double)cnt2 - (double)cnt1) * (double)(x - pos1) /
+                            (double)(pos2 - pos1);
+}
+
+struct StPair { int64_t pos, cnt; };
+
+struct Cls {
+  const Glob& G;
+  int M, plen;
+  bool fwd = true;
+  int64_t COV[4];
+  std::vector<OutIntvl> iv;      // working copy (only_r entry aliasing
+                                 //  = struct copy, same as the oracle's
+                                 //  list-entry rebinding: entries are
+                                 //  never mutated after)
+  std::vector<double> dp;        // [M][4]
+  std::vector<double> dh;        // [M][4] dh_ratio
+  std::vector<uint8_t> rpos;     // [M]
+  std::vector<int8_t> bt;        // [M][4][M]
+  std::vector<StPair> st;        // [M][4][4]; ERROR slot stays zeroed
+
+  Cls(const Glob& g, int m, int pl) : G(g), M(m), plen(pl) {}
+
+  inline int pred(int x) const { return fwd ? x - 1 : x + 1; }
+  inline int succ(int x) const { return fwd ? x + 1 : x - 1; }
+  inline int64_t predp(int64_t x) const { return fwd ? x - 1 : x + 1; }
+  inline int64_t offs(int64_t x) const {
+    return fwd ? x - G.offset : x + G.offset;
+  }
+  inline int64_t beg_pos(const OutIntvl& I) const {
+    return fwd ? I.b : I.e - 1;
+  }
+  inline int64_t beg_cnt(const OutIntvl& I) const {
+    return fwd ? I.ccb : I.cce;
+  }
+  inline int64_t end_pos(const OutIntvl& I) const {
+    return fwd ? I.e - 1 : I.b;
+  }
+  inline int64_t end_cnt(const OutIntvl& I) const {
+    return fwd ? I.cce : I.ccb;
+  }
+
+  inline double& DP(int i, int s) { return dp[(size_t)i * 4 + s]; }
+  inline double& DH(int i, int s) { return dh[(size_t)i * 4 + s]; }
+  inline int8_t* BT(int i, int s) { return &bt[((size_t)i * 4 + s) * M]; }
+  inline StPair& ST(int i, int s, int t) {
+    return st[((size_t)i * 4 + s) * 4 + t];
+  }
+
+  // class_rel.c:113-156 D/H ratio from three alternating H/D intervals
+  double calc_dh_ratio(int init_s, const int8_t* asgn, int off, int L) {
+    int idx[4];
+    idx[0] = fwd ? L : -1;
+    int s = init_s;
+    for (int i = 0; i < 3; i++) {
+      int j = fwd ? idx[i] - 1 : idx[i] + 1;
+      if (fwd) { while (j >= 0 && asgn[off + j] != s) j--; }
+      else     { while (j < L && asgn[off + j] != s) j++; }
+      idx[i + 1] = j;
+      if ((fwd && j < 0) || (!fwd && j >= L)) return NEG_INF;
+      s = (s == XH) ? XD : XH;
+    }
+    const OutIntvl& I1 = iv[off + idx[1]];
+    const OutIntvl& I2 = iv[off + idx[2]];
+    const OutIntvl& I3 = iv[off + idx[3]];
+    int64_t s1p = beg_pos(I1), s1c = beg_cnt(I1);
+    int64_t tp = end_pos(I2), tc = end_cnt(I2);
+    int64_t s2p = end_pos(I3), s2c = end_cnt(I3);
+    if (!fwd) { std::swap(s1p, s2p); std::swap(s1c, s2c); }
+    double est = x_lin_interp(tp, s2p, s2c, s1p, s1c);
+    if (init_s == XD) return est / (double)tc;
+    return (double)tc / est;
+  }
+
+  // class_rel.c:158-277 emission/transition terms
+  double lp_e(int i) {
+    const OutIntvl& I = iv[i];
+    double lp = x_logp_poisson(I.ccb, (int)COV[XE]) +
+                x_logp_poisson(I.cce, (int)COV[XE]) + G.e_po_base;
+    return lp < I.pe ? I.pe : lp;  // python max(): first arg wins ties
+  }
+
+  double lp_r(int i, const StPair& spr) {
+    const OutIntvl& I = iv[i];
+    int64_t bc = beg_cnt(I);
+    double lp_er = (bc < spr.cnt)
+                       ? x_logp_binom((int)bc, (int)spr.cnt, 1 - G.pe_mean)
+                       : NEG_INF;
+    double lp = lp_er < NEG_INF ? NEG_INF : lp_er;  // max(NEG_INF, lp_er)
+    if (lp > G.r_logp) return lp;
+    int max_cc = I.ccb > I.cce ? I.ccb : I.cce;
+    if (max_cc >= COV[XR]) return G.r_logp;
+    if (max_cc >= spr.cnt) return G.r_logp;
+    return lp;
+  }
+
+  double lp_h(int i, int s, const StPair* sp) {
+    const OutIntvl& I = iv[i];
+    int64_t bp = beg_pos(I), bc = beg_cnt(I);
+    const StPair* q = &sp[XH];
+    double v = x_logp_trans(predp(q->pos), bp, q->cnt, bc, q->cnt,
+                            G.read_len);
+    double r = DH(pred(i), s);
+    if (r != NEG_INF) {
+      q = &sp[XD];
+      v = x_logp_trans(predp(q->pos), bp, q->cnt,
+                       (int64_t)(r * (double)bc), q->cnt, G.read_len);
+    }
+    return v + 0.0;
+  }
+
+  double lp_d(int i, int /*s*/, const StPair* sp) {
+    // class_rel.c:242-270: dh_ratio branch overwritten unconditionally
+    const OutIntvl& I = iv[i];
+    int64_t bp = beg_pos(I), bc = beg_cnt(I);
+    const StPair* q = &sp[XD];
+    return x_logp_trans(predp(q->pos), bp, q->cnt, bc, q->cnt,
+                        G.read_len) + 0.0;
+  }
+
+  double calc_logp(int s, int t, int i, const StPair* sp) {
+    if (t == XE) return lp_e(i);
+    if (t == XH) return lp_h(i, s, sp);
+    if (t == XD) return lp_d(i, s, sp);
+    return lp_r(i, sp[XR]);
+  }
+
+  struct MaxTr { int x; double logp; };
+
+  MaxTr find_max_dp_tr(const double tr[4][4], int i, int s, int t) {
+    int ip = pred(i);
+    double maxl = NEG_INF;
+    int maxx = XN;
+    for (int x = 0; x < 4; x++) {
+      int s_ = s < XN ? s : x;
+      int t_ = t < XN ? t : x;
+      double l = DP(ip, s_) + tr[s_][t_];
+      if (maxl < l) { maxl = l; maxx = x; }
+    }
+    return {maxx, maxl};
+  }
+
+  // class_rel.c:286-513 one DP step
+  void update(int i) {
+    const OutIntvl& I = iv[i];
+    int64_t ep = end_pos(I), ec = end_cnt(I);
+    int ip = pred(i);
+
+    double tr[4][4];
+    for (int s = 0; s < 4; s++) {
+      if (DP(ip, s) == NEG_INF) {
+        for (int t = 0; t < 4; t++) tr[s][t] = 0.0;
+        continue;
+      }
+      for (int t = 0; t < 4; t++)
+        tr[s][t] = std::exp(calc_logp(s, t, i, &ST(ip, s, 0)));
+    }
+    double psum = 0.0;
+    for (int s = 0; s < 4; s++)
+      for (int t = 0; t < 4; t++) psum += tr[s][t];
+    if (psum == 0.0) {  // DEBUG fallback active in reference
+      for (int s = 0; s < 4; s++) tr[s][XE] = 1.0;
+      psum = 4.0;
+    }
+    for (int s = 0; s < 4; s++)
+      for (int t = 0; t < 4; t++)
+        tr[s][t] = tr[s][t] > 0.0 ? std::log(tr[s][t] / psum) : NEG_INF;
+
+    // all paths converge to R? (class_rel.c:348-380)
+    bool only_r = true;
+    for (int s = 0; s < 4; s++) {
+      int maxt = find_max_dp_tr(tr, i, s, XN).x;
+      if (maxt != XN && maxt != XR) { only_r = false; break; }
+    }
+    if (only_r) {
+      rpos[i] = 1;
+      iv[i] = iv[ip];
+      for (int s = 0; s < 4; s++) {
+        DP(i, s) = DP(ip, s);
+        if (DP(i, s) == NEG_INF) continue;
+        if (fwd) { if (i > 0) memcpy(BT(i, s), BT(ip, s), (size_t)i); }
+        else if (i + 1 < M)
+          memcpy(BT(i, s) + i + 1, BT(ip, s) + i + 1, (size_t)(M - i - 1));
+        BT(i, s)[i] = (int8_t)s;
+        for (int t = 0; t < 4; t++) ST(i, s, t) = ST(ip, s, t);
+      }
+      return;
+    }
+
+    int maxs_h = find_max_dp_tr(tr, i, XN, XH).x;
+    int maxs_d = find_max_dp_tr(tr, i, XN, XD).x;
+    if (maxs_h == XH && maxs_d == XD) {
+      double m = tr[XD][XD] < tr[XH][XH] ? tr[XD][XD] : tr[XH][XH];
+      tr[XH][XH] = tr[XD][XD] = m;
+    }
+
+    for (int t = 0; t < 4; t++) {
+      MaxTr mt = find_max_dp_tr(tr, i, XN, t);
+      DP(i, t) = mt.logp;
+      if (mt.x == XN) continue;
+      int max_s = mt.x;
+      if (fwd) { if (i > 0) memcpy(BT(i, t), BT(ip, max_s), (size_t)i); }
+      else if (i + 1 < M)
+        memcpy(BT(i, t) + i + 1, BT(ip, max_s) + i + 1,
+               (size_t)(M - i - 1));
+      BT(i, t)[i] = (int8_t)t;
+
+      if (t == XE) {
+        for (int s2 = XR; s2 <= XD; s2++) ST(i, t, s2) = ST(ip, max_s, s2);
+      } else if (t == XR) {
+        for (int s2 = XH; s2 <= XD; s2++)
+          ST(i, t, s2) = {offs(ep), ST(ip, max_s, s2).cnt};
+        int64_t r_cnt = ec < COV[XR] ? ec : COV[XR];
+        if (ST(ip, max_s, XR).cnt < r_cnt) ST(i, t, XR) = ST(ip, max_s, XR);
+        else ST(i, t, XR) = {offs(ep), r_cnt};
+      } else if (t == XH) {
+        int64_t curr_h = ec, curr_d;
+        int off = fwd ? 0 : i;
+        int L = fwd ? i + 1 : M - i;
+        double r = calc_dh_ratio(XH, BT(i, t), off, L);
+        if (r == NEG_INF) {
+          bool has_d = false;
+          if (fwd) {
+            for (int ii = 0; ii < i; ii++)
+              if (BT(i, t)[ii] == XD) { has_d = true; break; }
+          } else {
+            for (int ii = i + 1; ii < M; ii++)
+              if (BT(i, t)[ii] == XD) { has_d = true; break; }
+          }
+          curr_d = has_d ? ST(ip, max_s, XD).cnt : curr_h + COV[XH];
+        } else {
+          curr_d = (int64_t)(r * (double)curr_h);
+          DH(i, t) = r;
+        }
+        int64_t curr_r = (int64_t)(G.dr_ratio * (double)curr_d);
+        int64_t p = offs(ep);
+        ST(i, t, XH) = {p, curr_h};
+        ST(i, t, XD) = {p, curr_d};
+        ST(i, t, XR) = {p, curr_r};
+      } else {  // XD
+        int64_t curr_d = ec, curr_h;
+        int off = fwd ? 0 : i;
+        int L = fwd ? i + 1 : M - i;
+        double r = calc_dh_ratio(XD, BT(i, t), off, L);
+        if (r == NEG_INF) {
+          bool has_h = false;
+          if (fwd) {
+            for (int ii = 0; ii < i; ii++)
+              if (BT(i, t)[ii] == XH) { has_h = true; break; }
+          } else {
+            for (int ii = i + 1; ii < M; ii++)
+              if (BT(i, t)[ii] == XH) { has_h = true; break; }
+          }
+          if (has_h) curr_h = ST(ip, max_s, XH).cnt;
+          else {
+            int64_t a = curr_d / 2, b = curr_d - COV[XH];
+            curr_h = a > b ? a : b;
+          }
+        } else {
+          curr_h = (int64_t)((double)curr_d / r);
+          DH(i, t) = r;
+        }
+        int64_t curr_r = (int64_t)(G.dr_ratio * (double)curr_d);
+        int64_t p = offs(ep);
+        ST(i, t, XH) = {p, curr_h};
+        ST(i, t, XD) = {p, curr_d};
+        ST(i, t, XR) = {p, curr_r};
+      }
+
+      // H < D < R sanity gate (class_rel.c:496-498)
+      if (!(ST(i, t, XH).cnt < ST(i, t, XD).cnt &&
+            ST(i, t, XD).cnt < ST(i, t, XR).cnt))
+        DP(i, t) = NEG_INF;
+    }
+  }
+
+  // class_rel.c:515-614 one directional pass; asgn path into path_out
+  int run_pass(const OutIntvl* rintvl, int8_t* path_out) {
+    dp.assign((size_t)M * 4, NEG_INF);
+    dh.assign((size_t)M * 4, NEG_INF);
+    rpos.assign((size_t)M, 0);
+    iv.assign(rintvl, rintvl + M);
+    bt.assign((size_t)M * 4 * M, 0);
+    st.assign((size_t)M * 4 * 4, StPair{0, 0});
+
+    int64_t POS_INIT = offs(fwd ? 0 : plen);
+    int i = fwd ? 0 : M - 1;
+    const OutIntvl& I = iv[i];
+    for (int s = 0; s < 4; s++) {
+      for (int t = XR; t <= XD; t++) ST(i, s, t) = {POS_INIT, COV[t]};
+      BT(i, s)[i] = (int8_t)s;
+    }
+    DP(i, XE) = lp_e(i);
+    DP(i, XR) = lp_r(i, ST(i, XR, XR));
+    ST(i, XR, XR) = {end_pos(I),
+                     end_cnt(I) < COV[XR] ? end_cnt(I) : COV[XR]};
+    DP(i, XH) = x_logp_poisson((int)beg_cnt(I), (int)COV[XH]);
+    ST(i, XH, XH) = {end_pos(I), end_cnt(I)};
+    ST(i, XH, XD) = {offs(end_pos(I)), end_cnt(I) + COV[XH]};
+    DP(i, XD) = x_logp_poisson((int)beg_cnt(I), (int)COV[XD]);
+    {
+      int64_t a = end_cnt(I) / 2, b = end_cnt(I) - COV[XH];
+      ST(i, XD, XH) = {offs(end_pos(I)), a > b ? a : b};
+    }
+    ST(i, XD, XD) = {end_pos(I), end_cnt(I)};
+
+    double psum = 0.0;
+    for (int s = 0; s < 4; s++) psum += std::exp(DP(i, s));
+    for (int s = 0; s < 4; s++) {
+      double v = std::exp(DP(i, s)) / psum;
+      DP(i, s) = v > 0.0 ? std::log(v) : NEG_INF;
+    }
+
+    for (;;) {
+      i = succ(i);
+      if ((fwd && i >= M) || (!fwd && i < 0)) break;
+      update(i);
+    }
+
+    i = fwd ? M - 1 : 0;
+    double maxl = NEG_INF;
+    int maxs = XN;
+    for (int s = 0; s < 4; s++)
+      if (maxl < DP(i, s)) { maxl = DP(i, s); maxs = s; }
+    if (maxs == XN) return -1;  // "all DP states impossible"
+    memcpy(path_out, BT(i, maxs), (size_t)M);
+    for (int j = 0; j < M; j++)
+      if (rpos[j]) path_out[j] = XR;
+    return 0;
+  }
+
+  // class_rel.c:623-845 directional wrapper with rescue heuristics
+  int classify_dir(const OutIntvl* rintvl, bool f, int8_t* asgn,
+                   double* hdrr_out) {
+    fwd = f;
+    for (int s = 0; s < 4; s++) COV[s] = G.cov[s];
+    if (run_pass(rintvl, asgn) < 0) return -1;
+
+    bool no_h = true;
+    for (int i = 0; i < M; i++)
+      if (asgn[i] == XH) { no_h = false; break; }
+    if (no_h) {
+      int64_t lsum = 0, csum = 0;
+      int anchor = -1;
+      for (int i = 0; i < M; i++)
+        if (asgn[i] == XD) {
+          int64_t l = rintvl[i].e - rintvl[i].b;
+          lsum += l;
+          csum += (int64_t)(rintvl[i].ccb + rintvl[i].cce) * l / 2;
+          if (fwd) { if (anchor == -1) anchor = i; }
+          else anchor = i;
+        }
+      if (anchor >= 0) {
+        double mean_d = (double)csum / (double)lsum;
+        if (mean_d < G.cov[XD]) {
+          COV[XH] = fwd ? rintvl[anchor].ccb : rintvl[anchor].cce;
+          COV[XD] = COV[XH] + G.cov[XH];
+          if (run_pass(rintvl, asgn) < 0) return -1;
+          no_h = true;
+          for (int i = 0; i < M; i++)
+            if (asgn[i] == XH) { no_h = false; break; }
+          if (no_h) {
+            lsum = csum = 0;
+            for (int i = 0; i < M; i++)
+              if (asgn[i] == XD) {
+                int64_t l = rintvl[i].e - rintvl[i].b;
+                lsum += l;
+                csum += (int64_t)(rintvl[i].ccb + rintvl[i].cce) * l / 2;
+              }
+            mean_d = (double)csum / (double)lsum;
+            if (std::fabs(mean_d - G.cov[XH]) <=
+                std::fabs(mean_d - G.cov[XD]))
+              for (int i = 0; i < M; i++)
+                if (asgn[i] == XD) asgn[i] = XH;
+          }
+        }
+      }
+    }
+
+    bool all_h = true;
+    for (int i = 0; i < M; i++)
+      if (asgn[i] != XH) { all_h = false; break; }
+    if (all_h) {
+      int64_t lsum = 0, csum = 0;
+      for (int i = 0; i < M; i++) {
+        int64_t l = rintvl[i].e - rintvl[i].b;
+        lsum += l;
+        csum += (int64_t)(rintvl[i].ccb + rintvl[i].cce) * l / 2;
+      }
+      double mean_h = (double)csum / (double)lsum;
+      if (std::fabs(mean_h - G.cov[XH]) >= std::fabs(mean_h - G.cov[XD]))
+        for (int i = 0; i < M; i++) asgn[i] = XD;
+    }
+
+    int n = 0;
+    for (int i = 0; i < M; i++)
+      if (asgn[i] == XH) n++;
+    if ((double)n >= M * 0.7) {
+      int64_t lsum = 0, csum = 0;
+      for (int i = 0; i < M; i++)
+        if (asgn[i] == XH) {
+          int64_t l = rintvl[i].e - rintvl[i].b;
+          lsum += l;
+          csum += (int64_t)(rintvl[i].ccb + rintvl[i].cce) * l / 2;
+        }
+      double mean_h = (double)csum / (double)lsum;
+      if (std::fabs(mean_h - G.cov[XH]) >= std::fabs(mean_h - G.cov[XD]))
+        for (int i = 0; i < M; i++) {
+          if (asgn[i] == XH) asgn[i] = XD;
+          else if (asgn[i] == XD) asgn[i] = XR;
+        }
+    }
+
+    int first_d = -1, last_d = -1, first_h = -1, last_h = -1;
+    for (int i = 0; i < M; i++) {
+      if (asgn[i] == XD) { if (first_d == -1) first_d = i; last_d = i; }
+      else if (asgn[i] == XH) { if (first_h == -1) first_h = i; last_h = i; }
+    }
+    double hdrr = 1.0;
+    if (first_d >= 0 && first_h >= 0)
+      hdrr = ((double)rintvl[first_d].ccb / (double)rintvl[first_h].ccb) /
+             ((double)rintvl[last_d].cce / (double)rintvl[last_h].cce);
+    *hdrr_out = hdrr;
+    return 0;
+  }
+};
+
+// class_rel.c:847-869 (the oracle's literal transcription, including
+// state values used as truthiness)
+static bool is_eq_prefix(const int8_t* a, int M) {
+  if (a[0] != 1) return false;
+  int i = 0;
+  while (i < M && a[i]) i++;
+  while (i < M) {
+    if (a[i]) return false;
+    i++;
+  }
+  return true;
+}
+
+static bool is_eq_suffix(const int8_t* a, int M) {
+  if (a[M - 1] != 1) return false;
+  int i = M - 2;
+  while (i >= 0 && a[i]) i--;
+  while (i >= 0) {
+    if (a[i]) return false;
+    i--;
+  }
+  return true;
+}
+
+}  // namespace xrel
+
+extern "C" {
+
+// classify_rel (class_rel.c:871-963): fw + bw + reconciliation over the
+// reliable intervals of ONE read.  rels = contiguous OutIntvl records
+// (is_rel entries only), asgn_out = M int8 states.  Returns 0, or -1 if
+// a DP ends with all states impossible (the oracle raises there).
+int cp_exact_rel(int cov_e, int cov_r, int cov_h, int cov_d,
+                 double dr_ratio, int read_len, double r_logp,
+                 double e_po_base, double pe_mean, int offset,
+                 const OutIntvl* rels, int M, int plen,
+                 int8_t* asgn_out) {
+  init_logfact();
+  if (M <= 0) return 0;
+  xrel::Glob G{{cov_e, cov_r, cov_h, cov_d}, dr_ratio, read_len,
+               r_logp, e_po_base, pe_mean, offset};
+  xrel::Cls C(G, M, plen);
+  std::vector<int8_t> af(M), ab(M);
+  double hf = 1.0, hb = 1.0;
+  if (C.classify_dir(rels, true, af.data(), &hf) < 0) return -1;
+  if (C.classify_dir(rels, false, ab.data(), &hb) < 0) return -1;
+  bool eq = true;
+  for (int i = 0; i < M; i++)
+    if (af[i] != ab[i]) { eq = false; break; }
+  const int8_t* pick = af.data();
+  if (!eq) {
+    if (xrel::is_eq_prefix(af.data(), M)) pick = af.data();
+    else if (xrel::is_eq_suffix(af.data(), M)) pick = ab.data();
+    else pick = (std::fabs(hf - 1.0) <= std::fabs(hb - 1.0)) ? af.data()
+                                                             : ab.data();
+  }
+  memcpy(asgn_out, pick, (size_t)M);
+  return 0;
+}
+
+}  // extern "C"
