@@ -160,7 +160,6 @@ def cmd_classify(args: argparse.Namespace) -> int:
                                  read_len=args.read_len, model_path=args.model,
                                  threads=args.threads, verbose=args.verbose,
                                  warmup=args.warmup,
-                                 group=getattr(args, "group", 1),
                                  devices=getattr(args, "devices", 0))
     if args.seeds:
         from classpro_tpu.io.fastk import open_profiles
@@ -335,11 +334,6 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write a JAX profiler (xprof) trace of the "
                         "classification stream to DIR (SURVEY §5 "
                         "observability; view with tensorboard or xprof)")
-    c.add_argument("--group", type=int, default=1, metavar="G",
-                   help="dispatch G chunks' reliable-interval DPs as one "
-                        "device program (amortizes fixed per-execution "
-                        "launch cost on high-latency links; see "
-                        "tools/device_probe.py)")
     c.add_argument("--devices", type=int, default=0, metavar="N",
                    help="round-robin chunks over the first N local "
                         "chips (replicated tables, zero cross-device "

@@ -403,6 +403,11 @@ class NativeWall:
             d.pe_mean, d.offset,
             rels.ctypes.data_as(ctypes.c_void_p), M, int(plen),
             out.ctypes.data_as(ctypes.c_void_p))
+        if r == -2:
+            # mirrors the oracle's own failure mode: math.log(0.0)
+            # ValueError / int(inf) OverflowError inside the DP
+            raise ValueError("exact rel DP hit log(0)/int(inf) "
+                             "(oracle loud-failure domain)")
         if r != 0:
             raise RuntimeError("all DP states impossible at final interval")
         return out

@@ -43,6 +43,16 @@ import numpy as np
 from classpro_tpu.estimation import GlobalModel
 from classpro_tpu.tpu.rel_dev2 import RelParams2, rel_dp_pass2
 from classpro_tpu.tpu.skellam_dev import PackedSkellam, build_packed_skellam
+
+# CP_ABLATE=stage,stage,...: MEASUREMENT-ONLY program ablations used to
+# attribute device-program cost on the live chip (output is wrong with
+# any stage listed; never set in production).  Stages: "norescue"
+# (skip the conditional second DP pass), "notb" (skip the traceback
+# loop, rel_dev2), "nodp" (skip the DP while_loop, rel_dev2).
+import os as _os
+
+_ABLATE = frozenset(
+    s for s in _os.environ.get("CP_ABLATE", "").split(",") if s)
 from classpro_tpu.tpu.unrel_dev2 import UnrelParams2, unrel_sweeps2
 
 ERROR, REPEAT, HAPLO, DIPLO, N_STATE = 0, 1, 2, 3, 4
@@ -186,9 +196,12 @@ def _rel_pipeline(U, PP: PipelineParams, R2: int, max_m: int):
         jnp.where(rescue, anchor_cnt, cov2[:, HAPLO]))
     cov2 = cov2.at[:, DIPLO].set(
         jnp.where(rescue, anchor_cnt + PP.gcov[HAPLO], cov2[:, DIPLO]))
-    asgn2, mm2 = jax.lax.cond(jnp.any(rescue),
-                              lambda: dp(cov2),
-                              lambda: (asgn, mm1))
+    if "norescue" in _ABLATE:   # MEASUREMENT-ONLY (CP_ABLATE)
+        asgn2, mm2 = asgn, mm1
+    else:
+        asgn2, mm2 = jax.lax.cond(jnp.any(rescue),
+                                  lambda: dp(cov2),
+                                  lambda: (asgn, mm1))
     asgn = jnp.where(rescue[:, None], asgn2, asgn)
     # rescued rows' decisions came from BOTH passes (pass 1 triggered
     # the rescue); their guard margin is the min of the two
@@ -433,47 +446,6 @@ def _rel_only_core(fblob, iblob, PP: PipelineParams, R: int, max_m: int):
 @functools.partial(jax.jit, static_argnames=("R", "max_m"))
 def rel_only_dev(fblob, iblob, PP: PipelineParams, R: int, max_m: int):
     return _rel_only_core(fblob, iblob, PP, R, max_m)
-
-
-@functools.partial(jax.jit, static_argnames=("R", "max_m"))
-def rel_multi_dev(fbs, ibs, PP: PipelineParams, R: int, max_m: int):
-    """G chunks' rel DPs UNROLLED sequentially in one program (width
-    unchanged; one fixed launch cost for G scans).  ``fbs``/``ibs`` are
-    tuples of per-chunk blobs — the tuple length is static under jit.
-
-    Distinct from rel_group_dev's lax.map (measured dead: G=3 cost
-    3x the single-chunk time) — here the G dynamic-trip while_loops
-    are separate HLO ops compiled back to back, so each runs with the
-    same lowering as the production single-chunk program.  Whether the
-    platform's ~26 ms fixed execution cost is paid once per program or
-    once per while_loop decides if this wins (tools/device_probe.py)."""
-    return tuple(_rel_only_core(fb, ib, PP, R, max_m)
-                 for fb, ib in zip(fbs, ibs))
-
-
-def rel_pair_dev(fb1, ib1, fb2, ib2, PP: PipelineParams,
-                 R: int, max_m: int):
-    """Two-chunk convenience wrapper over rel_multi_dev."""
-    return rel_multi_dev((fb1, fb2), (ib1, ib2), PP, R=R, max_m=max_m)
-
-
-@functools.partial(jax.jit, static_argnames=("R", "max_m"))
-def rel_group_dev(fblobs, iblobs, PP: PipelineParams, R: int, max_m: int):
-    """G chunks' rel DP in ONE device program (lax.map over the chunk
-    axis, each iteration = _rel_only_core with its own dynamic trip).
-
-    Motivation (BASELINE_MEASURED round-2 root cause): this platform
-    pays a serialized ~26 ms tunnel round trip PER PROGRAM EXECUTION,
-    while the scan itself costs only ~90 us/step at production width —
-    and width scaling is superlinear, so stacking chunks as extra ROWS
-    does not amortize the RTT.  Running G chunks sequentially INSIDE one
-    program keeps the width constant and pays the RTT once per G.
-
-    fblobs (G, R*max_m) f64; iblobs (G, 4*R*max_m + 2R) int32.
-    Returns (G, 2R, max_m) int8."""
-    return jax.lax.map(
-        lambda fi: _rel_only_core(fi[0], fi[1], PP, R, max_m),
-        (fblobs, iblobs))
 
 
 @functools.partial(jax.jit,

@@ -288,15 +288,10 @@ class TpuEngine:
     # batch_size default 200 = the measured-optimal production chunk
     # (bench.py sweep: 160 worse, 240 noise-equal, 512 slower)
     def __init__(self, gm: GlobalModel, batch_size: int = 200,
-                 threads: int = 0, group: int = 1,
-                 verbose: bool = False, devices=None):
+                 threads: int = 0, verbose: bool = False, devices=None):
         self.gm = gm
         self.batch_size = batch_size
         self.threads = threads      # host-side C++ worker count (-T)
-        # group > 1: dispatch G chunks' rel DPs as ONE device program
-        # (rel_multi_dev) to amortize the platform's fixed per-execution
-        # cost — see tools/device_probe.py before enabling
-        self.group = max(1, group)
         self.verbose = verbose      # stderr notice on cold program builds
         # devices: round-robin chunk dispatch over the host's local
         # chips (the reference's per-thread read ranges, §2.5, mapped to
@@ -384,10 +379,6 @@ class TpuEngine:
         for R, max_m in shapes:
             fb = np.full(R * max_m, NEG_INF)
             ib = np.ones(4 * R * max_m + 2 * R, np.int32)
-            if self.group > 1:
-                jax.block_until_ready(self._rel_multi_exec(
-                    self.group, R, max_m)(
-                        (fb,) * self.group, (ib,) * self.group))
             for dev in (self.devices or [None]):
                 jax.block_until_ready(
                     self._rel_exec(R, max_m, dev)(fb, ib))
@@ -419,9 +410,6 @@ class TpuEngine:
 
         if prefetch > 0:
             chunks = _prefetch_iter(chunks, prefetch)
-        if self.group > 1:
-            yield from self._classify_stream_grouped(chunks)
-            return
         # depth 3 covers one device (host k+1 || device k || finish
         # k-1); with N round-robin devices keep ~2 chunks in flight per
         # chip so every chip always has a program running
@@ -431,33 +419,6 @@ class TpuEngine:
             pending.append(self._submit(seqs, profiles))
             if len(pending) >= depth:
                 yield self._finish(pending.popleft())
-        while pending:
-            yield self._finish(pending.popleft())
-
-    def _classify_stream_grouped(self, chunks):
-        """Grouped streaming: wall-stage each chunk as it arrives, then
-        dispatch G chunks' rel DPs as ONE device program
-        (rel_multi_dev), keeping one group in flight while the previous
-        group finishes (host relaxation) and the next stages."""
-        import collections
-
-        pending: collections.deque = collections.deque()
-        buf: list = []
-
-        def flush():
-            devs = [st for st in buf if "_plens" in st]
-            if devs:
-                self._dispatch_multi(devs)
-            pending.extend(buf)
-            buf.clear()
-
-        for seqs, profiles in chunks:
-            buf.append(self._stage(seqs, profiles))
-            if len(buf) >= self.group:
-                flush()
-                while len(pending) > self.group:
-                    yield self._finish(pending.popleft())
-        flush()
         while pending:
             yield self._finish(pending.popleft())
 
@@ -519,67 +480,6 @@ class TpuEngine:
             th.start()
             st["box"], st["thread"] = box, th
         return st
-
-    def _rel_multi_exec(self, G: int, R: int, max_m: int, dev=None):
-        """AOT-compiled G-chunk program (rel_multi_dev) per bucket."""
-        key = (G, R, max_m) if dev is None else (G, R, max_m, dev)
-        ex = self._exec_cache.get(key)
-        if ex is None:
-            self._cold_notice(key)
-            import jax.numpy as jnp
-
-            from classpro_tpu.tpu.device_pipeline import rel_multi_dev
-
-            fb_s = jax.ShapeDtypeStruct((R * max_m,), jnp.float64)
-            ib_s = jax.ShapeDtypeStruct((4 * R * max_m + 2 * R,),
-                                        jnp.int32)
-            pp = self._pp_for(dev)
-            if dev is None:
-                aot = jax.jit(
-                    rel_multi_dev, static_argnames=("R", "max_m")
-                ).lower((fb_s,) * G, (ib_s,) * G, pp,
-                        R=R, max_m=max_m).compile()
-            else:
-                from jax.sharding import SingleDeviceSharding
-
-                sd = SingleDeviceSharding(dev)
-                fn = lambda fbs, ibs, p: rel_multi_dev(
-                    fbs, ibs, p, R=R, max_m=max_m)
-                aot = jax.jit(fn, in_shardings=sd, out_shardings=sd
-                              ).lower((fb_s,) * G, (ib_s,) * G,
-                                      pp).compile()
-            ex = lambda fbs, ibs: aot(fbs, ibs, pp)
-            self._exec_cache[key] = ex
-        return ex
-
-    def _dispatch_multi(self, sts) -> None:
-        """Pack each staged chunk at the group's common bucket and
-        dispatch ONE device program for all of them (round-robined over
-        local chips when devices= is set); a single fetch thread
-        distributes the per-chunk results."""
-        import threading
-
-        R = max(st["_R"] for st in sts)
-        max_m = max(st["_mm"] for st in sts)
-        blobs = [self._pack_st(st, R, max_m) for st in sts]
-        outs = self._rel_multi_exec(len(sts), R, max_m,
-                                    self._next_device())(
-            tuple(fb for fb, _ in blobs), tuple(ib for _, ib in blobs))
-        boxes = [{} for _ in sts]
-
-        def fetch():
-            for bx, o in zip(boxes, outs):
-                try:
-                    asgn, mm = o
-                    bx["v"] = np.ascontiguousarray(np.asarray(asgn))
-                    bx["mm"] = np.asarray(mm)
-                except BaseException as e:   # surfaced at _finish
-                    bx["err"] = e
-
-        th = threading.Thread(target=fetch, daemon=True)
-        th.start()
-        for st, bx in zip(sts, boxes):
-            st["box"], st["thread"] = bx, th
 
     # minimum decision margin below which a read's rel stage is
     # recomputed on the host with exact arithmetic.  Device error
@@ -779,7 +679,6 @@ def classify_file_tpu(fastx_path: str, fastk_root: str, coverage: int = 0,
                       read_len: int = 20000, model_path: str | None = None,
                       batch_size: int = 200, threads: int = 0,
                       verbose: bool = False, warmup: bool = False,
-                      group: int = 1,
                       devices: int = 0) -> Iterator[ClassRecord]:
     # setup (model build + optional device warmup) runs EAGERLY at call
     # time — the streaming body is the inner generator
@@ -792,7 +691,7 @@ def classify_file_tpu(fastx_path: str, fastk_root: str, coverage: int = 0,
                          f".prof k-mer size ({P.kmer})")
     devs = jax.local_devices()[:devices] if devices > 0 else None
     eng = TpuEngine(gm, batch_size=batch_size, threads=threads,
-                    group=group, verbose=verbose, devices=devs)
+                    verbose=verbose, devices=devs)
     if warmup:
         # expected (R, max_m) ladder for this batch size: R = bucketed
         # batch, max_m from the coarse ladder's low rungs (dataset-

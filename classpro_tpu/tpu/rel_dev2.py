@@ -85,11 +85,25 @@ class RelParams2(NamedTuple):
 # table-perturbed values broke the tie the other way.
 TRUNC_EPS_NOTE = "int-trunc args are flagged via the same margin vector"
 
+# CP_NO_GUARD=1: MEASUREMENT-ONLY kill switch for the exactness guard's
+# device ops (margin tracking + correctly-rounded division) so their
+# cost can be attributed on the live chip (VERDICT r2 #1).  Output is
+# NOT byte-identity-safe with it set; never enable in production.
+import os as _os
+
+_NO_GUARD = _os.environ.get("CP_NO_GUARD") == "1"
+_STUB_GATHER = _os.environ.get("CP_STUB_GATHER") == "1"
+_ABLATE = frozenset(
+    s for s in _os.environ.get("CP_ABLATE", "").split(",") if s)
+
 
 def _top2_margin(x, axis):
     """top1 - top2 along ``axis``: the flip distance of that argmax.
     +inf when fewer than two finite candidates (nothing to flip to);
     0 when NaN-poisoned (conservative: always flag)."""
+    if _NO_GUARD:
+        return jnp.full(tuple(d for i, d in enumerate(x.shape)
+                              if i != (axis % x.ndim)), jnp.inf)
     top1k = jnp.max(x, axis=axis, keepdims=True)
     am = jnp.argmax(x, axis=axis)                  # first max instance
     n = x.shape[axis]
@@ -130,6 +144,8 @@ def _div_cr(a, b):
     One Newton step with an exact Dekker-product residual recovers the
     IEEE result (residual r = a - q*b is exact; q + r/b rounds to
     RN(a/b) whenever the native q is within ~2^40 ulp)."""
+    if _NO_GUARD:
+        return a / b
     q = a / b
     hi, lo = _two_prod(q, b)
     r = (a - hi) - lo
@@ -281,7 +297,14 @@ def _lane_step(carry, xs, consts, P: RelParams2):
     k_all = jnp.stack([kH, kD], axis=1)                      # (B, 2, 4)
     lam_all = jnp.stack([lamH, lamD], axis=1)
     n_, idx_, f_, in_a, x_, ka = skellam_args(k_all, lam_all)
-    nodes = P.ps.tab[n_, idx_]
+    if _STUB_GATHER:
+        # CP_STUB_GATHER=1: MEASUREMENT-ONLY — replace the packed-table
+        # gather with a same-shape broadcast so its cost can be
+        # attributed on the live chip.  Output is garbage; never use
+        # outside profiling.
+        nodes = jnp.broadcast_to(P.ps.tab[0, 0], n_.shape + (5,))
+    else:
+        nodes = P.ps.tab[n_, idx_]
     lp_hd = skellam_value(nodes, P.ps, n_, f_, in_a, x_, ka,
                           jnp.asarray(lam_all, jnp.float64))
     logpH, logpD = lp_hd[:, 0, :], lp_hd[:, 1, :]
@@ -611,8 +634,11 @@ def rel_dp_pass2(bpos, bcnt, epos, ecnt, max_cc, lf_bcnt, logpE_all,
                 rp_bufs[s], rp, t, 0))
         return t + 1, tuple(new), tuple(bp_n), tuple(rp_n)
 
-    _, carry_f, bp_bufs, rp_bufs = jax.lax.while_loop(
-        w_cond, w_body, (jnp.int32(0), carry0, bp_buf0, rp_buf0))
+    if "nodp" in _ABLATE:   # MEASUREMENT-ONLY (CP_ABLATE)
+        carry_f, bp_bufs, rp_bufs = carry0, bp_buf0, rp_buf0
+    else:
+        _, carry_f, bp_bufs, rp_bufs = jax.lax.while_loop(
+            w_cond, w_body, (jnp.int32(0), carry0, bp_buf0, rp_buf0))
     outs = tuple((bp_bufs[s], rp_bufs[s]) for s in range(lanes))
 
     # ---------------- traceback (class_rel.c:606-613) --------------------
@@ -652,8 +678,11 @@ def rel_dp_pass2(bpos, bcnt, epos, ecnt, max_cc, lf_bcnt, logpE_all,
             cur = jnp.where(j <= last, prev, cur)
             return t + 1, cur, buf
 
-        _, state0, buf = jax.lax.while_loop(
-            tb_cond, tb_step, (jnp.int32(0), cur0, buf0))
+        if "notb" in _ABLATE:   # MEASUREMENT-ONLY (CP_ABLATE)
+            state0, buf = cur0, buf0
+        else:
+            _, state0, buf = jax.lax.while_loop(
+                tb_cond, tb_step, (jnp.int32(0), cur0, buf0))
         asgn = jnp.concatenate(
             [state0[:, None], buf[:, 1:]], axis=1).astype(jnp.int8)
         asgn = jnp.where(rpos, jnp.int8(REPEAT), asgn)

@@ -2404,26 +2404,47 @@ struct Glob {
   int offset;
 };
 
+// int64-safe count clamp: the oracle's _check_cnt operates on Python
+// unbounded ints, so huge st counts (e.g. curr_d extrapolated from a
+// large dh_ratio) must be clamped BEFORE any narrowing to int —
+// narrowing first can wrap negative and turn g_logfact[...] into an
+// out-of-bounds read (advisor finding, round 2).
+static inline int clamp_cnt64(int64_t n) {
+  return n > MAX_KMER_CNT ? MAX_KMER_CNT : (int)n;
+}
+
 // prob.c:33 semantics via numerics.logp_poisson (k clamped, k*log(lam)
-// evaluated left-to-right)
-static inline double x_logp_poisson(int k, int lam) {
-  k = clamp_cnt(k);
+// evaluated left-to-right).  lam <= 0 is the oracle's math.log(0.0)
+// ValueError — callers check the num_err flag and fail loudly instead
+// of silently propagating NaN/-inf (advisor finding, round 2).
+static inline double x_logp_poisson64(int64_t k64, int64_t lam,
+                                      bool* num_err) {
+  if (lam <= 0) { *num_err = true; return NEG_INF; }
+  int k = clamp_cnt64(k64);
   return k * std::log((double)lam) - lam - g_logfact[k];
 }
 
-static inline double x_logp_binom(int k, int n, double p) {
-  k = clamp_cnt(k);
-  n = clamp_cnt(n);
+static inline double x_logp_binom(int64_t k64, int64_t n64, double p) {
+  int k = clamp_cnt64(k64);
+  int n = clamp_cnt64(n64);
   return g_logfact[n] - g_logfact[k] - g_logfact[n - k] +
          k * std::log(p) + (n - k) * std::log(1 - p);
 }
 
 // util.c:35 via numerics.logp_trans; positions are int64 (they carry
-// +-OFFSET excursions beyond the read)
+// +-OFFSET excursions beyond the read).  ce-cb is kept in int64 and
+// saturated into int range: beyond that the reference's own `int`
+// arithmetic (util.c:35,43) is undefined, and nr_bessi at |k| ~ 2^31
+// would loop for minutes in BOTH implementations — the saturated value
+// keeps the C++ defined (no wrap) on inputs outside the reference's
+// own domain.
 static inline double x_logp_trans(int64_t b, int64_t e, int64_t cb,
                                   int64_t ce, int64_t cov, int read_len) {
   double lam = (double)cov * (double)std::llabs(e - b) / read_len;
-  return logp_skellam((int)(ce - cb), lam);
+  int64_t k = ce - cb;
+  if (k > INT32_MAX) k = INT32_MAX;
+  else if (k < -(int64_t)INT32_MAX) k = -(int64_t)INT32_MAX;
+  return logp_skellam((int)k, lam);
 }
 
 // util.c:24 — cnt1 + (cnt2-cnt1)*(x-pos1)/(pos2-pos1), mult before div
@@ -2439,6 +2460,7 @@ struct Cls {
   const Glob& G;
   int M, plen;
   bool fwd = true;
+  bool num_err = false;  // oracle-mirroring loud failure (log(0)/int(inf))
   int64_t COV[4];
   std::vector<OutIntvl> iv;      // working copy (only_r entry aliasing
                                  //  = struct copy, same as the oracle's
@@ -2506,8 +2528,8 @@ struct Cls {
   // class_rel.c:158-277 emission/transition terms
   double lp_e(int i) {
     const OutIntvl& I = iv[i];
-    double lp = x_logp_poisson(I.ccb, (int)COV[XE]) +
-                x_logp_poisson(I.cce, (int)COV[XE]) + G.e_po_base;
+    double lp = x_logp_poisson64(I.ccb, COV[XE], &num_err) +
+                x_logp_poisson64(I.cce, COV[XE], &num_err) + G.e_po_base;
     return lp < I.pe ? I.pe : lp;  // python max(): first arg wins ties
   }
 
@@ -2515,7 +2537,7 @@ struct Cls {
     const OutIntvl& I = iv[i];
     int64_t bc = beg_cnt(I);
     double lp_er = (bc < spr.cnt)
-                       ? x_logp_binom((int)bc, (int)spr.cnt, 1 - G.pe_mean)
+                       ? x_logp_binom(bc, spr.cnt, 1 - G.pe_mean)
                        : NEG_INF;
     double lp = lp_er < NEG_INF ? NEG_INF : lp_er;  // max(NEG_INF, lp_er)
     if (lp > G.r_logp) return lp;
@@ -2534,8 +2556,16 @@ struct Cls {
     double r = DH(pred(i), s);
     if (r != NEG_INF) {
       q = &sp[XD];
-      v = x_logp_trans(predp(q->pos), bp, q->cnt,
-                       (int64_t)(r * (double)bc), q->cnt, G.read_len);
+      // oracle: int(r * bc) — Python raises OverflowError on inf and
+      // NaN; mirror with num_err.  Finite r*bc beyond int64 can't be
+      // cast (UB); saturate, x_logp_trans re-saturates into int range.
+      double rv = r * (double)bc;
+      int64_t rc;
+      if (!std::isfinite(rv)) { num_err = true; rc = 0; }  // OverflowError
+      else if (rv >= 9.2e18) rc = INT64_MAX;
+      else if (rv <= -9.2e18) rc = INT64_MIN;
+      else rc = (int64_t)rv;
+      v = x_logp_trans(predp(q->pos), bp, q->cnt, rc, q->cnt, G.read_len);
     }
     return v + 0.0;
   }
@@ -2707,6 +2737,7 @@ struct Cls {
 
   // class_rel.c:515-614 one directional pass; asgn path into path_out
   int run_pass(const OutIntvl* rintvl, int8_t* path_out) {
+    num_err = false;
     dp.assign((size_t)M * 4, NEG_INF);
     dh.assign((size_t)M * 4, NEG_INF);
     rpos.assign((size_t)M, 0);
@@ -2725,10 +2756,10 @@ struct Cls {
     DP(i, XR) = lp_r(i, ST(i, XR, XR));
     ST(i, XR, XR) = {end_pos(I),
                      end_cnt(I) < COV[XR] ? end_cnt(I) : COV[XR]};
-    DP(i, XH) = x_logp_poisson((int)beg_cnt(I), (int)COV[XH]);
+    DP(i, XH) = x_logp_poisson64(beg_cnt(I), COV[XH], &num_err);
     ST(i, XH, XH) = {end_pos(I), end_cnt(I)};
     ST(i, XH, XD) = {offs(end_pos(I)), end_cnt(I) + COV[XH]};
-    DP(i, XD) = x_logp_poisson((int)beg_cnt(I), (int)COV[XD]);
+    DP(i, XD) = x_logp_poisson64(beg_cnt(I), COV[XD], &num_err);
     {
       int64_t a = end_cnt(I) / 2, b = end_cnt(I) - COV[XH];
       ST(i, XD, XH) = {offs(end_pos(I)), a > b ? a : b};
@@ -2754,6 +2785,7 @@ struct Cls {
     for (int s = 0; s < 4; s++)
       if (maxl < DP(i, s)) { maxl = DP(i, s); maxs = s; }
     if (maxs == XN) return -1;  // "all DP states impossible"
+    if (num_err) return -2;     // oracle would have raised (log(0)/int(inf))
     memcpy(path_out, BT(i, maxs), (size_t)M);
     for (int j = 0; j < M; j++)
       if (rpos[j]) path_out[j] = XR;
@@ -2765,7 +2797,7 @@ struct Cls {
                    double* hdrr_out) {
     fwd = f;
     for (int s = 0; s < 4; s++) COV[s] = G.cov[s];
-    if (run_pass(rintvl, asgn) < 0) return -1;
+    { int rc = run_pass(rintvl, asgn); if (rc < 0) return rc; }
 
     bool no_h = true;
     for (int i = 0; i < M; i++)
@@ -2786,7 +2818,7 @@ struct Cls {
         if (mean_d < G.cov[XD]) {
           COV[XH] = fwd ? rintvl[anchor].ccb : rintvl[anchor].cce;
           COV[XD] = COV[XH] + G.cov[XH];
-          if (run_pass(rintvl, asgn) < 0) return -1;
+          { int rc = run_pass(rintvl, asgn); if (rc < 0) return rc; }
           no_h = true;
           for (int i = 0; i < M; i++)
             if (asgn[i] == XH) { no_h = false; break; }
@@ -2886,8 +2918,11 @@ extern "C" {
 
 // classify_rel (class_rel.c:871-963): fw + bw + reconciliation over the
 // reliable intervals of ONE read.  rels = contiguous OutIntvl records
-// (is_rel entries only), asgn_out = M int8 states.  Returns 0, or -1 if
-// a DP ends with all states impossible (the oracle raises there).
+// (is_rel entries only), asgn_out = M int8 states.  Returns 0; -1 if
+// a DP ends with all states impossible (the oracle raises there); -2 if
+// the numerics hit the oracle's own loud-failure domain (math.log(0.0)
+// ValueError / int(inf) OverflowError) — callers must raise, not
+// silently continue.
 int cp_exact_rel(int cov_e, int cov_r, int cov_h, int cov_d,
                  double dr_ratio, int read_len, double r_logp,
                  double e_po_base, double pe_mean, int offset,
@@ -2900,8 +2935,10 @@ int cp_exact_rel(int cov_e, int cov_r, int cov_h, int cov_d,
   xrel::Cls C(G, M, plen);
   std::vector<int8_t> af(M), ab(M);
   double hf = 1.0, hb = 1.0;
-  if (C.classify_dir(rels, true, af.data(), &hf) < 0) return -1;
-  if (C.classify_dir(rels, false, ab.data(), &hb) < 0) return -1;
+  int rc = C.classify_dir(rels, true, af.data(), &hf);
+  if (rc < 0) return rc;
+  rc = C.classify_dir(rels, false, ab.data(), &hb);
+  if (rc < 0) return rc;
   bool eq = true;
   for (int i = 0; i < M; i++)
     if (af[i] != ab[i]) { eq = false; break; }

@@ -277,82 +277,6 @@ def test_warmup_smoke():
     assert (8, 32) in eng._exec_cache
 
 
-def test_rel_pair_dev_matches_two_singles():
-    """The unrolled two-chunk program (rel_pair_dev) returns exactly the
-    two single-chunk programs' outputs (device_pipeline.rel_only_dev).
-
-    The pair program exists to amortize the tunneled platform's fixed
-    per-execution cost (tools/device_probe.py); its semantics must be
-    the identity."""
-    from classpro_tpu.estimation import build_global_model
-    from classpro_tpu.io.fastk import load_histogram, open_profiles
-    from classpro_tpu.io.fastx import read_fastx
-    from classpro_tpu.tpu.device_pipeline import (rel_only_dev,
-                                                  rel_pair_dev)
-    from classpro_tpu.tpu.engine import TpuEngine, _bucket, _bucket_m
-
-    gm = build_global_model(load_histogram(str(FIX / "tiny" / "reads")))
-    P = open_profiles(str(FIX / "tiny" / "reads"))
-    reads = list(read_fastx(str(FIX / "tiny" / "reads.fasta.gz")))[:32]
-    eng = TpuEngine(gm)
-    blobs = []
-    for lo in (0, 16):                       # two distinct 16-read chunks
-        seqs = [r.seq for r in reads[lo:lo + 16]]
-        profs = [P.fetch(i) for i in range(lo, lo + 16)]
-        g = sorted(range(16), key=lambda i: len(profs[i]))
-        slab, n_out, n_rel, slot = eng.wall.wall_stage_slab(
-            [seqs[i].encode("ascii") for i in g], [profs[i] for i in g])
-        plens = np.array([len(profs[i]) for i in g], np.int64)
-        R = _bucket(int((n_rel > 0).sum()))
-        max_m = _bucket_m(int(n_rel.max()))
-        blobs.append((eng.wall.pack_rel(slab, slot, n_out, n_rel, plens,
-                                        R, max_m), R, max_m))
-        eng.wall.release_slab(slab)
-    # pad both chunks to a common (R, max_m) bucket for the pair program
-    R = max(b[1] for b in blobs)
-    max_m = max(b[2] for b in blobs)
-    assert all(b[1] == R and b[2] == max_m for b in blobs), \
-        "tiny fixture chunks should land in one bucket"
-    (fb1, ib1), (fb2, ib2) = blobs[0][0], blobs[1][0]
-    w1, mm1 = rel_only_dev(fb1, ib1, eng.pp, R=R, max_m=max_m)
-    w2, mm2 = rel_only_dev(fb2, ib2, eng.pp, R=R, max_m=max_m)
-    (p1, q1), (p2, q2) = rel_pair_dev(fb1, ib1, fb2, ib2, eng.pp,
-                                      R=R, max_m=max_m)
-    assert np.array_equal(np.asarray(p1), np.asarray(w1))
-    assert np.array_equal(np.asarray(p2), np.asarray(w2))
-    assert np.array_equal(np.asarray(q1), np.asarray(mm1))
-    assert np.array_equal(np.asarray(q2), np.asarray(mm2))
-
-
-def test_grouped_stream_matches_ungrouped():
-    """classify_stream with group>1 (one rel_multi_dev program per G
-    chunks) yields exactly the default path's outputs, including a
-    trailing partial group and chunks with no reliable intervals."""
-    from classpro_tpu.estimation import build_global_model
-    from classpro_tpu.io.fastk import load_histogram, open_profiles
-    from classpro_tpu.io.fastx import read_fastx
-    from classpro_tpu.tpu.engine import TpuEngine
-
-    gm = build_global_model(load_histogram(str(FIX / "tiny" / "reads")))
-    P = open_profiles(str(FIX / "tiny" / "reads"))
-    reads = list(read_fastx(str(FIX / "tiny" / "reads.fasta.gz")))[:50]
-    seqs = [r.seq for r in reads]
-    profs = [P.fetch(i) for i in range(50)]
-    profs[3] = np.zeros(0, np.uint16)        # a read with no profile
-    B = 10                                   # 5 chunks
-
-    def run(eng):
-        chunks = ((seqs[i:i + B], profs[i:i + B])
-                  for i in range(0, 50, B))
-        return [c for out in eng.classify_stream(chunks) for c in out]
-
-    want = run(TpuEngine(gm, batch_size=B))
-    got2 = run(TpuEngine(gm, batch_size=B, group=2))   # 2+2+partial
-    got3 = run(TpuEngine(gm, batch_size=B, group=3))   # 3+partial 2
-    assert got2 == want
-    assert got3 == want
-
-
 def test_multidevice_round_robin_matches_single():
     """TpuEngine(devices=[d0, d1, ...]) round-robins whole chunks over
     local chips (replicated tables, zero cross-device traffic) and must

@@ -37,30 +37,58 @@ import jax, jax.numpy as jnp
 f = jax.jit(lambda x: x * 2)
 x = jnp.float32(3.0)
 jax.block_until_ready(f(x))          # warm: builds the TPU program
+# Barrier: warmup/first-exec time varies wildly on this platform, so the
+# parent releases all children simultaneously AFTER every child reports
+# ready — otherwise the timed windows only partially overlap and the
+# 2-proc aggregate is inflated.
+print("READY", flush=True)
+sys.stdin.readline()                 # block until parent says go
 secs = float(sys.argv[1])
 n = 0
+w0 = time.time()
 t0 = time.perf_counter()
 while time.perf_counter() - t0 < secs:
     jax.block_until_ready(f(x))
     n += 1
 dt = time.perf_counter() - t0
-print(json.dumps({"execs": n, "secs": dt, "rate": n / dt}))
+print(json.dumps({"execs": n, "secs": dt, "rate": n / dt,
+                  "win": [w0, w0 + dt]}))
 """
 
 
 def _spawn(secs: float) -> subprocess.Popen:
     return subprocess.Popen(
         [sys.executable, "-c", CHILD, str(secs)],
-        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL, text=True)
 
 
 def _rates(procs: list[subprocess.Popen]) -> list[float]:
-    out = []
+    # Wait for every child to finish warmup, then release them together so
+    # the measurement windows fully overlap.
+    for p in procs:
+        line = p.stdout.readline()
+        if line.strip() != "READY":
+            raise RuntimeError(f"child failed before warmup: {line!r}")
+    for p in procs:
+        p.stdin.write("go\n")
+        p.stdin.flush()
+    results = []
     for p in procs:
         stdout, _ = p.communicate(timeout=1200)
         line = stdout.strip().splitlines()[-1]
-        out.append(json.loads(line)["rate"])
-    return out
+        results.append(json.loads(line))
+    if len(results) > 1:
+        start = max(r["win"][0] for r in results)
+        end = min(r["win"][1] for r in results)
+        span = max(r["win"][1] for r in results) - \
+            min(r["win"][0] for r in results)
+        overlap = max(0.0, end - start) / span if span else 0.0
+        print(f"  window overlap: {overlap * 100:.0f}%", flush=True)
+        if overlap < 0.9:
+            print("  WARNING: windows overlap <90%; treat ratio as noisy",
+                  flush=True)
+    return [r["rate"] for r in results]
 
 
 def main() -> None:

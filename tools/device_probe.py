@@ -40,7 +40,10 @@ import numpy as np
 
 
 def _timeit(fn, reps: int) -> float:
-    """Median seconds per serialized execution (block_until_ready)."""
+    """Median seconds per serialized execution INCLUDING the result
+    fetch: since the 2026-08-18 relay change, block_until_ready returns
+    before the program has actually run — only np.asarray() waits for
+    real completion, so timings must fetch."""
     fn()  # warm (first execution builds the TPU program on this platform)
     ts = []
     for _ in range(reps):
@@ -55,9 +58,6 @@ def main() -> None:
     ap.add_argument("--trip", type=int, default=100,
                     help="dynamic while_loop trip count (production ~100-127)")
     ap.add_argument("--reps", type=int, default=20)
-    ap.add_argument("--pair", action="store_true",
-                    help="also time rel_pair_dev vs 2x rel_only_dev at "
-                         "production shapes (R=256, max_m=128)")
     args = ap.parse_args()
 
     import jax
@@ -73,7 +73,7 @@ def main() -> None:
         return x * 2.0
 
     x = jnp.asarray(3.0)
-    t_null = _timeit(lambda: null(x).block_until_ready(), args.reps)
+    t_null = _timeit(lambda: np.asarray(null(x)), args.reps)
     print(f"null program                 : {t_null * 1e3:8.2f} ms")
 
     # 2-4. k sequential dynamic-trip while_loops ---------------------------
@@ -105,7 +105,7 @@ def main() -> None:
     t1 = None
     for k in (1, 2, 4):
         prog = make_prog(k)
-        t = _timeit(lambda: prog(v, n).block_until_ready(), args.reps)
+        t = _timeit(lambda: np.asarray(prog(v, n)), args.reps)
         if k == 1:
             t1 = t
         print(f"while_loop x{k} (trip {args.trip:4d})  : {t * 1e3:8.2f} ms")
@@ -116,50 +116,6 @@ def main() -> None:
     print("interpretation: if x4 ~= x1, grouping scans in one program "
           "amortizes the RTT (build the pair-program); if x4 ~= 4*x1, "
           "the cost is per while_loop execution and grouping is dead.")
-
-    if not args.pair:
-        return
-
-    # 5. production-shape pair program vs two singles ----------------------
-    # Synthetic blobs shaped like the engine's warmup, but with m set to
-    # a production-like interval count so the dynamic trip is realistic.
-    import pathlib
-    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
-    from classpro_tpu.estimation import build_global_model
-    from classpro_tpu.io.fastk import load_histogram
-    from classpro_tpu.tpu.device_pipeline import (
-        build_pipeline_params, rel_only_dev, rel_pair_dev)
-
-    fx = pathlib.Path(__file__).resolve().parent.parent / \
-        "tests" / "fixtures" / "medium"
-    gm = build_global_model(load_histogram(str(fx / "reads")))
-    PP = build_pipeline_params(gm)
-    R, max_m = 256, 128
-    m_trip = 120
-    sz = R * max_m
-    rng = np.random.default_rng(0)
-    ib = np.ones(4 * sz + 2 * R, np.int32)
-    pos = np.arange(max_m, dtype=np.int32) * 60
-    ib[0:sz] = np.tile(pos, R)                       # b
-    ib[sz:2 * sz] = np.tile(pos + 55, R)             # e
-    ib[2 * sz:3 * sz] = rng.integers(5, 60, sz)      # ccb
-    ib[3 * sz:4 * sz] = rng.integers(5, 60, sz)      # cce
-    ib[4 * sz:4 * sz + R] = m_trip                   # m
-    ib[4 * sz + R:] = max_m * 60 + 60                # plen
-    fb = np.full(sz, -50.0)
-
-    single = jax.jit(rel_only_dev, static_argnames=("R", "max_m")
-                     ).lower(fb, ib, PP, R=R, max_m=max_m).compile()
-    pair = jax.jit(rel_pair_dev, static_argnames=("R", "max_m")
-                   ).lower(fb, ib, fb, ib, PP, R=R, max_m=max_m).compile()
-
-    t_s = _timeit(
-        lambda: jax.block_until_ready(single(fb, ib, PP)), args.reps)
-    t_p = _timeit(
-        lambda: jax.block_until_ready(pair(fb, ib, fb, ib, PP)), args.reps)
-    print(f"\nrel_only_dev  (R={R}, m={m_trip}) : {t_s * 1e3:8.2f} ms")
-    print(f"rel_pair_dev  (2 chunks, same)  : {t_p * 1e3:8.2f} ms"
-          f"   ({t_p / (2 * t_s):.2f}x of 2 singles per chunk)")
 
 
 if __name__ == "__main__":
