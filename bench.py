@@ -164,6 +164,13 @@ def main() -> None:
         "e2e": round(e2e),
         "e2e_vs_baseline": round(e2e / BASELINE_KMERS_PER_SEC, 3),
         "parity_ok": bool(parity_ok),
+        # exactness-guard telemetry: reads recomputed by the exact
+        # oracle across the whole bench, and the smallest positive
+        # decision margin seen (a margin collapse on new data would
+        # show here as flag-rate > 0 / min_margin near the 1e-5 eps)
+        "guard_flagged": int(eng.guard_flagged),
+        "min_margin": (None if eng.guard_min_margin == float("inf")
+                       else float(eng.guard_min_margin)),
     }
     if os.environ.get("_CLASSPRO_BENCH_CHILD"):
         rec["platform"] = os.environ["_CLASSPRO_BENCH_CHILD"]

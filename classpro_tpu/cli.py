@@ -141,7 +141,7 @@ def cmd_classify(args: argparse.Namespace) -> int:
                                 read_len=args.read_len,
                                 model_path=args.model)
         by_count = np.zeros(hist.high + 1, np.int64)
-        by_count[hist.low: hist.high + 1] = hist.hist
+        by_count[hist.low: hist.high + 1] = hist.instance_counts()
         pm = PmmModel(gm, by_count)
         P = open_profiles(fk_root)
         for rid in range(P.nreads):

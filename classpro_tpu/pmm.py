@@ -8,14 +8,22 @@ H/D coverages; in the released code the result only feeds diagnostics
 not consumed by classification), so this port is the same opt-in
 analysis: classify --pmm reports per-read coverage estimates.
 
-Same equations as hist.c: integer-argument digamma via the harmonic
-series (precompute_digamma, hist.c:20-26, grown on demand instead of a
-fixed 1e7-entry table), the same prior construction (hist.c:106-127)
-and the same VI updates/convergence/isolation rules (pmm_vi,
-hist.c:159-310).  The per-count accumulation loops are vectorized with
-numpy, whose pairwise-summation rounding can differ from the C loops in
-the last ulps — acceptable for a diagnostic whose output the reference
-itself never consumes.
+Same equations as hist.c: the same prior construction (hist.c:106-127,
+fed the Modify_Histogram instance-count view) and the same VI
+updates/convergence/isolation rules (pmm_vi, hist.c:159-310).
+
+Digamma quirk, measured not assumed: the reference NEVER calls
+precompute_digamma — ClassPro.c:540 comments the call out — so in
+every binary the project can build (-DDO_PMM only takes effect after
+also removing ClassPro.h:36's `#undef DO_PMM`), the 1e7-entry digamma
+table is ZERO.  The parity default here replicates that compiled
+behavior (digamma(n) = 0 everywhere) and is byte-checked against a
+`pmm_harness` build of the reference (tools/build_reference.py,
+tests/test_aux.py golden.pmm.gz: 398/398 reads bitwise-equal on the
+medium fixture).  ``PmmModel(..., corrected=True)`` instead uses the
+harmonic-series table precompute_digamma would have built
+(hist.c:20-26, grown on demand instead of a fixed 1e7-entry table) —
+the estimator the code plainly intended.
 """
 
 from __future__ import annotations
@@ -53,13 +61,30 @@ class _Digamma:
         return float(self.tab[n])
 
 
-_digamma = _Digamma()
+_harmonic_digamma = _Digamma()
+
+
+def _zero_digamma(n: int) -> float:
+    """The as-compiled reference's digamma: the table is never
+    initialized (ClassPro.c:540), so every lookup reads 0.0."""
+    return 0.0
 
 
 class PmmModel:
-    """Priors derived from the global histogram (hist.c:106-127)."""
+    """Priors derived from the global histogram (hist.c:106-127).
 
-    def __init__(self, gm: GlobalModel, hist: np.ndarray):
+    ``hist`` must be the instance-count view (unique counts multiplied
+    by their count — Modify_Histogram semantics, libfastk.c:100-148),
+    indexed absolutely by count; ``Histogram.instance_counts()``
+    provides it.  ``corrected=False`` (default) replicates the
+    as-compiled reference bit-for-bit (zero digamma, see module
+    docstring); ``corrected=True`` uses the real harmonic-series
+    digamma."""
+
+    def __init__(self, gm: GlobalModel, hist: np.ndarray,
+                 corrected: bool = False):
+        _digamma = _harmonic_digamma if corrected else _zero_digamma
+        self._digamma = _digamma
         lam = (int(gm.cov[2]), int(gm.cov[3]))     # (H, D)
         self.lambda_prior = lam
         self.b_prior = list(GAMMA_WEIGHT)
@@ -105,10 +130,10 @@ class PmmModel:
                 ew = list(self.eta_weight_k_prior)
                 ec = list(self.eta_const_k_prior)
             else:
-                dg_sum = _digamma(int(alpha[0] + alpha[1]))
-                ew = [_digamma(int(a[k])) - math.log(b[k])
-                      for k in range(2)]
-                ec = [_digamma(int(alpha[k])) - dg_sum - a[k] / b[k]
+                dg = self._digamma
+                dg_sum = dg(int(alpha[0] + alpha[1]))
+                ew = [dg(int(a[k])) - math.log(b[k]) for k in range(2)]
+                ec = [dg(int(alpha[k])) - dg_sum - a[k] / b[k]
                       for k in range(2)]
             eta = np.exp(nprof[:, None] * np.asarray(ew)[None, :]
                          + np.asarray(ec)[None, :])

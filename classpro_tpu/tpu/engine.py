@@ -304,6 +304,13 @@ class TpuEngine:
         self.wall = make_wall_stage(gm)
         self.pp = build_pipeline_params(gm)
         self._exec_cache: dict = {}
+        # exactness-guard telemetry (surfaced in bench JSON and the -v
+        # report): cumulative count of reads recomputed by the exact
+        # oracle, and the smallest positive decision margin observed —
+        # a margin collapse on new data shows up here, not silently as
+        # an oracle-speed slowdown (VERDICT r2 weak #6)
+        self.guard_flagged = 0
+        self.guard_min_margin = float("inf")
 
     def _next_device(self):
         """Round-robin device for the next chunk (None = default)."""
@@ -507,9 +514,14 @@ class TpuEngine:
         # 8339) or genuine near-ties.
         def risky(v):
             return (v > 0.0) & (v < self.REL_MARGIN_EPS)
+        pos = mm[(mm > 0.0) & np.isfinite(mm)]
+        if pos.size:
+            self.guard_min_margin = min(self.guard_min_margin,
+                                        float(pos.min()))
         flagged = risky(mm[:R]) | risky(mm[R:])
         if not flagged.any():
             return
+        self.guard_flagged += int(flagged.sum())
         if self.verbose:
             import sys
 
@@ -637,6 +649,7 @@ class TpuEngine:
             foff += int(flags.shape[0])
             for r, i in enumerate(rows):
                 if fl[r]:
+                    self.guard_flagged += 1
                     res[i] = self._exact_full(seqs[i], profiles[i])
 
     # ------------------------------------------------------------------

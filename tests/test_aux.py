@@ -15,8 +15,11 @@ def test_pmm_recovers_mixture_coverages():
     hist = load_histogram(str(FIX / "medium" / "reads"))
     gm = build_global_model(hist)
     by_count = np.zeros(hist.high + 1, np.int64)
-    by_count[hist.low: hist.high + 1] = hist.hist
-    pm = PmmModel(gm, by_count)
+    by_count[hist.low: hist.high + 1] = hist.instance_counts()
+    # corrected=True: the real harmonic-series digamma (the estimator
+    # hist.c intended); the parity default (zero digamma, as compiled)
+    # is goldened against the reference in test_pmm_reference_golden
+    pm = PmmModel(gm, by_count, corrected=True)
     rng = np.random.default_rng(0)
     H, D = int(gm.cov[2]), int(gm.cov[3])
     prof = np.concatenate([rng.poisson(H - 2, 4000),
@@ -28,6 +31,37 @@ def test_pmm_recovers_mixture_coverages():
     # degenerate read: too few normal counts -> priors returned
     n, lam = pm.pmm_vi(np.zeros(5, np.uint16))
     assert n < 2 and lam == [float(H), float(D)]
+
+
+def test_pmm_reference_golden():
+    """Bitwise parity with the -DDO_PMM reference build (pmm_harness,
+    tools/build_reference.py): per-read (N, lambda_H, lambda_D) on the
+    medium fixture, 398/398 bit-equal.  The golden was produced by the
+    as-compiled reference — zero digamma table (ClassPro.c:540 never
+    calls precompute_digamma), hist.c:159-310."""
+    import gzip
+
+    from classpro_tpu.estimation import build_global_model
+    from classpro_tpu.io.fastk import load_histogram, open_profiles
+    from classpro_tpu.pmm import PmmModel
+
+    hist = load_histogram(str(FIX / "medium" / "reads"))
+    gm = build_global_model(hist)
+    by_count = np.zeros(hist.high + 1, np.int64)
+    by_count[hist.low: hist.high + 1] = hist.instance_counts()
+    pm = PmmModel(gm, by_count)
+    assert pm.alpha_prior == [1, 5]   # instance-count totpk (hist.c:116)
+    golden = gzip.decompress(
+        (FIX / "medium" / "golden.pmm.gz").read_bytes()).decode()
+    P = open_profiles(str(FIX / "medium" / "reads"))
+    lines = golden.strip().split("\n")
+    assert len(lines) == P.nreads
+    for i, line in enumerate(lines):
+        rn, r0, r1 = line.split()
+        n, lam = pm.pmm_vi(P.fetch(i))
+        assert n == int(rn)
+        assert lam[0] == float(r0) and lam[1] == float(r1), (
+            i, lam, (r0, r1))
 
 
 def test_merge_files_and_anno(tmp_path):

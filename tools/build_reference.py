@@ -80,6 +80,56 @@ TOOLS = {
     "ShowSeeds": ["ShowSeeds.c", "libfastk.c", "DB.c", "QV.c"],
 }
 
+# Dev-only parity harness: per-read pmm_vi from the as-compiled
+# reference (hist.c:159-310).  Two deliberate reference quirks are
+# preserved, measured not assumed: ClassPro.h:36 force-#undefs DO_PMM
+# (so -DDO_PMM alone is a no-op — it must be re-defined after the
+# header), and ClassPro.c:540 never calls precompute_digamma (so the
+# digamma table every real build would use is all zeros).  Output: one
+# "N lambda_H lambda_D" line per read (%.17g) — the source of
+# tests/fixtures/medium/golden.pmm.gz.
+PMM_HARNESS = """\
+#include <stdio.h>
+#include <stdlib.h>
+#include <stdbool.h>
+#include <string.h>
+#include <math.h>
+#include <float.h>
+#include "ClassPro.h"
+#undef DO_PMM
+#define DO_PMM   /* ClassPro.h force-undefs it; re-enable for the harness */
+#include "const.c"
+#include "prob.c"
+#include "util.c"
+#include "hist.c"
+
+bool VERBOSE = false;
+char *Prog_Name = "pmm_harness";
+
+int main(int argc, char **argv)
+{ if (argc < 2)
+    { fprintf(stderr, "usage: pmm_harness <fastk_root> [coverage]\\n");
+      exit(1);
+    }
+  int cov = (argc > 2) ? atoi(argv[2]) : 0;
+  precompute_logfact();
+  process_global_hist(argv[1], cov);
+  Profile_Index *P = Open_Profiles(argv[1]);
+  if (P == NULL)
+    { fprintf(stderr, "cannot open profiles\\n"); exit(1); }
+  int rlen_max = 1000000;
+  PMM_Arg *parg = alloc_pmm_arg(rlen_max);
+  cnt_t *profile = malloc(rlen_max * sizeof(cnt_t));
+  double lambda[2];
+  for (int64 id = 0; id < P->nreads; id++)
+    { int plen = Fetch_Profile(P, id, rlen_max, profile);
+      int n = pmm_vi(parg, profile, plen, lambda);
+      printf("%d %.17g %.17g\\n", n, lambda[0], lambda[1]);
+    }
+  return 0;
+}
+"""
+
 
 def patch_wall(path: str) -> None:
     with open(path) as f:
@@ -107,6 +157,12 @@ def build(dest: str, coverage: bool) -> None:
         cmd = ["gcc", *flags, "-o", name, *srcs, "-lm", "-lz", "-lpthread"]
         subprocess.run(cmd, cwd=dest, check=True)
         print(f"built {dest}/{name}")
+    with open(os.path.join(dest, "pmm_harness.c"), "w") as f:
+        f.write(PMM_HARNESS)
+    subprocess.run(["gcc", *flags, "-o", "pmm_harness", "pmm_harness.c",
+                    "libfastk.c", "-lm", "-lz", "-lpthread"],
+                   cwd=dest, check=True)
+    print(f"built {dest}/pmm_harness")
 
 
 def main() -> None:
