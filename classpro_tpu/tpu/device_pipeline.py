@@ -139,8 +139,19 @@ def _unpack(fblob, iblob, Bn, max_n, R2, max_m):
     return U
 
 
-def _rel_pipeline(U, PP: PipelineParams, R2: int, max_m: int):
-    """DP + rescue + demotions + fw/bw reconciliation -> (R, max_m)."""
+def _rel_pipeline(U, PP: PipelineParams, R2: int, max_m: int,
+                  demotes: bool = True):
+    """DP + conditional rescue re-run (+ the post-rescue demotions when
+    ``demotes``) -> per-direction assignments.
+
+    The production path (rel_only_dev) passes demotes=False: the
+    no-h2/all-H/70%-H demotions are pure integer reductions over data
+    the host already holds, and the relay charges ~1-2 ms per
+    out-of-loop reduction kernel (tools/relay_probe.py) — so they run
+    on the host instead (demote_host below, exact int64, same
+    arithmetic).  Only the rescue stays here: it gates a second DP
+    pass, which must not cost a round trip.  The all-device
+    fallback/mesh path keeps demotes=True."""
     P = PP.rel
     R = R2 // 2
     bpos, bcnt, epos, ecnt = U["bpos"], U["bcnt"], U["epos"], U["ecnt"]
@@ -164,14 +175,9 @@ def _rel_pipeline(U, PP: PipelineParams, R2: int, max_m: int):
         return a.astype(jnp.int32), mm
 
     asgn, mm1 = dp(cov_t)
+    if "nopost" in _ABLATE:   # MEASUREMENT-ONLY: skip rescue/demotes
+        return asgn, mm1, jnp.zeros((R2,), bool)
     l_arr = jnp.abs(epos - bpos) + 1        # interval lengths (invariant)
-
-    def dsum(a, state):
-        mask = inb & (a == state)
-        lsum = jnp.sum(jnp.where(mask, l_arr, 0), axis=1)
-        csum = jnp.sum(jnp.where(mask, (bcnt + ecnt) * l_arr // 2, 0),
-                       axis=1)
-        return lsum, csum, mask
 
     # NOTE on comparisons: this backend's f64 division is NOT correctly
     # rounded (measured x/x = 1 - 128ulp on XLA:CPU), so every
@@ -184,12 +190,27 @@ def _rel_pipeline(U, PP: PipelineParams, R2: int, max_m: int):
     gDi = cov_t[:, DIPLO].astype(jnp.int64)
 
     # ---- no-H rescue (class_rel.c:630-672 / 744-784) -------------------
-    no_h = ~jnp.any(inb & (asgn == HAPLO), axis=1)
-    lsum, csum, dmask = dsum(asgn, DIPLO)
-    anchor, has_d = _first_true(dmask)   # first D in scan order == the
+    # The relay charges ~1-2 ms per out-of-loop reduction KERNEL
+    # (tools/relay_probe.py / the round-3 ablation matrix), so the
+    # whole predicate is packed into exactly two reductions: one
+    # 3-plane sum (D-length sum, D-count sum, H presence) and one
+    # keyed min whose value carries both the first-D column and its
+    # entering count (col << 16 | bcnt; bcnt <= 32767 < 2^16 so the
+    # column ordering is untouched).  The first D in scan order == the
     # reference's first (fw) / last (bw) D in original order; its scan
     # entering count bcnt equals the reference's ccb (fw) / cce (bw).
-    anchor_cnt = _oh_extract(bcnt, anchor)
+    dmask = inb & (asgn == DIPLO)
+    sums = jnp.sum(jnp.stack([
+        jnp.where(dmask, l_arr, 0),
+        jnp.where(dmask, (bcnt + ecnt) * l_arr // 2, 0),
+        (inb & (asgn == HAPLO)).astype(jnp.int64)]), axis=2)
+    lsum, csum, n_h1 = sums[0], sums[1], sums[2]
+    no_h = n_h1 == 0
+    key = jnp.min(jnp.where(dmask,
+                            (cols.astype(jnp.int64) << 16) + bcnt,
+                            jnp.int64(max_m) << 16), axis=1)
+    has_d = key < (jnp.int64(max_m) << 16)
+    anchor_cnt = key & 0xFFFF
     rescue = no_h & has_d & (csum < gDi * lsum)
     cov2 = cov_t.astype(jnp.int64)
     cov2 = cov2.at[:, HAPLO].set(
@@ -207,9 +228,34 @@ def _rel_pipeline(U, PP: PipelineParams, R2: int, max_m: int):
     # the rescue); their guard margin is the min of the two
     rshape = rescue if mm1.ndim == 1 else rescue[:, None]
     mm = jnp.where(rshape, jnp.minimum(mm1, mm2), mm1)
+
+    if demotes:
+        asgn = _demotes_dev(asgn, rescue, inb, l_arr, bcnt, ecnt, m,
+                            gHi, gDi)
+
+    # Both direction rows, AFTER rescue (+ demotes when device-side);
+    # bw rows in scan order.  The fw/bw reconciliation
+    # (class_rel.c:847-938) happens on the HOST (reconcile_fwbw below):
+    # its hdrr tie test |hdrr-1| <= |hdrr-1| sits exactly on the
+    # comparison boundary for symmetric reads, and this backend's
+    # non-correctly-rounded f64 division (x/x can be 1-128ulp) flips
+    # such ties vs the reference's IEEE arithmetic.
+    return asgn, mm, rescue   # (2R, max_m), (2R,) margins, (2R,) flags
+
+
+def _demotes_dev(asgn, rescue, inb, l_arr, bcnt, ecnt, m, gHi, gDi):
+    """Post-rescue demotions (class_rel.c:650-713), device version —
+    used only by the all-device fallback/mesh path."""
+    def dsum(a, state):
+        mask = inb & (a == state)
+        lsum = jnp.sum(jnp.where(mask, l_arr, 0), axis=1)
+        csum = jnp.sum(jnp.where(mask, (bcnt + ecnt) * l_arr // 2, 0),
+                       axis=1)
+        return lsum, csum
+
     # second no-h check -> demote D to H (class_rel.c:650-669)
     no_h2 = rescue & ~jnp.any(inb & (asgn == HAPLO), axis=1)
-    lsum2, csum2, _ = dsum(asgn, DIPLO)
+    lsum2, csum2 = dsum(asgn, DIPLO)
     # lsum2 == 0 -> C's 0.0/0 mean is NaN and the fabs compare is false
     flip = no_h2 & (lsum2 > 0) & (jnp.abs(csum2 - gHi * lsum2)
                                   <= jnp.abs(csum2 - gDi * lsum2))
@@ -227,20 +273,88 @@ def _rel_pipeline(U, PP: PipelineParams, R2: int, max_m: int):
     # ---- >=70% H -> demote H->D, D->R (class_rel.c:692-713) -------------
     n_h = jnp.sum(inb & (asgn == HAPLO), axis=1)
     many_h = n_h >= m * 0.7
-    lsum_h, csum_h, _ = dsum(asgn, HAPLO)
+    lsum_h, csum_h = dsum(asgn, HAPLO)
     demote = many_h & (lsum_h > 0) & (jnp.abs(csum_h - gHi * lsum_h)
                                       >= jnp.abs(csum_h - gDi * lsum_h))
     asgn = jnp.where(demote[:, None] & (asgn == HAPLO) & inb, 100, asgn)
     asgn = jnp.where(demote[:, None] & (asgn == DIPLO) & inb, REPEAT, asgn)
     asgn = jnp.where(asgn == 100, DIPLO, asgn)
+    return asgn
 
-    # Both direction rows, AFTER rescue/demotes; bw rows in scan order.
-    # The fw/bw reconciliation (class_rel.c:847-938) happens on the HOST
-    # (reconcile_fwbw below): its hdrr tie test |hdrr-1| <= |hdrr-1|
-    # sits exactly on the comparison boundary for symmetric reads, and
-    # this backend's non-correctly-rounded f64 division (x/x can be
-    # 1-128ulp) flips such ties vs the reference's IEEE arithmetic.
-    return asgn, mm   # (2R, max_m), (2R,) exactness-guard margins
+
+def demote_host(rel2: "np.ndarray", rescue: "np.ndarray",
+                b: "np.ndarray", e: "np.ndarray", ccb: "np.ndarray",
+                cce: "np.ndarray", m: "np.ndarray", gH: int,
+                gD: int) -> "np.ndarray":
+    """Post-rescue demotions (class_rel.c:650-713), host version — the
+    production path.  Same exact-int64 arithmetic as _demotes_dev (the
+    cross-multiplied mean-vs-threshold comparisons are bit-equivalent
+    to the reference's double division, see the NOTE in _rel_pipeline),
+    applied per scan-direction row to the raw device output before the
+    fw/bw reconciliation.
+
+    rel2: (2R, max_m) int8 (fw rows then bw rows in scan order);
+    rescue: (2R,) bool no-H rescue flags from the device; b/e/ccb/cce:
+    (R, max_m) forward-order interval bounds + corrected counts; m: (R,)
+    live counts.  Returns the demoted copy (rel2 may be a read-only
+    device-fetch view and is not mutated)."""
+    import numpy as np
+
+    R, max_m = b.shape
+    mv = np.asarray(m, np.int64)
+    cols = np.arange(max_m)[None, :]
+    inb1 = cols < mv[:, None]
+    flip_idx = np.where(inb1, mv[:, None] - 1 - cols, cols)
+
+    def rev(a):
+        return np.take_along_axis(a, flip_idx, axis=1)
+
+    b64 = b.astype(np.int64)
+    e64 = e.astype(np.int64)
+    ccb64 = ccb.astype(np.int64)
+    cce64 = cce.astype(np.int64)
+    # scan-order planes for both directions (same derivation as
+    # _rel_only_core): fw enters at b/ccb, leaves at e-1/cce; bw rows
+    # are index-reversed with the roles swapped
+    l1 = np.abs((e64 - 1) - b64) + 1
+    l_arr = np.concatenate([l1, rev(l1)])
+    bcnt = np.concatenate([ccb64, rev(cce64)])
+    ecnt = np.concatenate([cce64, rev(ccb64)])
+    inb = np.concatenate([inb1, inb1])
+    m2 = np.concatenate([mv, mv])
+    asgn = rel2.astype(np.int64)
+    gHi = np.int64(gH)
+    gDi = np.int64(gD)
+
+    def dsum(state):
+        mask = inb & (asgn == state)
+        lsum = np.where(mask, l_arr, 0).sum(axis=1)
+        csum = np.where(mask, (bcnt + ecnt) * l_arr // 2, 0).sum(axis=1)
+        return lsum, csum
+
+    no_h2 = np.asarray(rescue, bool) & ~(inb & (asgn == HAPLO)).any(axis=1)
+    lsum2, csum2 = dsum(DIPLO)
+    flip = no_h2 & (lsum2 > 0) & (np.abs(csum2 - gHi * lsum2)
+                                  <= np.abs(csum2 - gDi * lsum2))
+    asgn = np.where(flip[:, None] & (asgn == DIPLO), HAPLO, asgn)
+
+    all_h = (~inb | (asgn == HAPLO)).all(axis=1)
+    lsum_a = np.where(inb, l_arr, 0).sum(axis=1)
+    csum_a = np.where(inb, (bcnt + ecnt) * l_arr // 2, 0).sum(axis=1)
+    flip_all = all_h & (np.abs(csum_a - gHi * lsum_a)
+                        >= np.abs(csum_a - gDi * lsum_a))
+    asgn = np.where(flip_all[:, None] & inb,
+                    np.where(asgn == HAPLO, DIPLO, asgn), asgn)
+
+    n_h = (inb & (asgn == HAPLO)).sum(axis=1)
+    many_h = n_h >= m2 * 0.7
+    lsum_h, csum_h = dsum(HAPLO)
+    demote = many_h & (lsum_h > 0) & (np.abs(csum_h - gHi * lsum_h)
+                                      >= np.abs(csum_h - gDi * lsum_h))
+    asgn = np.where(demote[:, None] & (asgn == HAPLO) & inb, 100, asgn)
+    asgn = np.where(demote[:, None] & (asgn == DIPLO) & inb, REPEAT, asgn)
+    asgn = np.where(asgn == 100, DIPLO, asgn)
+    return asgn.astype(rel2.dtype)
 
 
 def _reconcile_dev(asgn, m, bcnt, ecnt, fwd, R: int, max_m: int):
@@ -396,8 +510,10 @@ def _rel_only_core(fblob, iblob, PP: PipelineParams, R: int, max_m: int):
     iblob (int32): b,e,ccb,cce [4 x R*max_m] | m [R] | plen [R]
     fblob (f64):   pe [R*max_m]
     Returns (asgn (2R, max_m) int8 — fw rows then bw rows in scan
-    order; margins (2R,) f64 — the exactness-guard min flip distance
-    per row).  The caller reconciles on the host (reconcile_fwbw, IEEE
+    order, post-rescue but PRE-demotion (the caller applies
+    demote_host); margins (2R,) f64 — the exactness-guard min flip
+    distance per row; rescue (2R,) bool no-H rescue flags, an input to
+    demote_host).  The caller reconciles on the host (reconcile_fwbw, IEEE
     division) and host-recomputes rows whose margin is below epsilon
     with the exact oracle: the interpolated Skellam table (~1e-9) and
     this backend's non-IEEE division cannot flip a decision whose
@@ -407,6 +523,11 @@ def _rel_only_core(fblob, iblob, PP: PipelineParams, R: int, max_m: int):
     first-wins order, is unreproducible from perturbed values).
     """
     sz = R * max_m
+    if "echo" in _ABLATE:   # MEASUREMENT-ONLY: transfers + RTT only
+        return (jnp.zeros((2 * R, max_m), jnp.int8)
+                + iblob[0].astype(jnp.int8),
+                jnp.zeros((2 * R,)) + fblob[0],
+                jnp.zeros((2 * R,), bool))
     b = iblob[0:sz].reshape(R, max_m).astype(jnp.int64)
     e = iblob[sz:2 * sz].reshape(R, max_m).astype(jnp.int64)
     ccb = iblob[2 * sz:3 * sz].reshape(R, max_m).astype(jnp.int64)
@@ -415,32 +536,54 @@ def _rel_only_core(fblob, iblob, PP: PipelineParams, R: int, max_m: int):
     plen = iblob[4 * sz + R:4 * sz + 2 * R].astype(jnp.int64)
     pe = fblob[0:sz].reshape(R, max_m)
 
+    if "noprep" in _ABLATE:   # MEASUREMENT-ONLY: skip plane derivation
+        z = jnp.zeros((2 * R, max_m), jnp.int64)
+        U = {"bpos": z, "bcnt": z + 1, "epos": z, "ecnt": z + 1,
+             "max_cc": z, "lf_bcnt": z.astype(jnp.float64),
+             "lf_ecnt": z.astype(jnp.float64),
+             "pe_rel": z.astype(jnp.float64),
+             "m": jnp.concatenate([m, m]),
+             "plen": jnp.concatenate([plen, plen]),
+             "fwd": jnp.concatenate([jnp.ones(R, bool),
+                                     jnp.zeros(R, bool)])}
+        asgn, mm, rescue = _rel_pipeline(U, PP, 2 * R, max_m,
+                                         demotes=False)
+        return asgn.astype(jnp.int8), mm, rescue
+
     cols = jnp.arange(max_m)
     flip = jnp.where(cols[None, :] < m[:, None],
                      m[:, None] - 1 - cols[None, :], cols[None, :])
 
-    def rev(a):
-        return jnp.take_along_axis(a, flip, axis=1)
-
+    # ONE reversal gather for all five int64 planes and one for pe: the
+    # relay charges ~1 ms per out-of-loop gather KERNEL while elementwise
+    # stacking is free (tools/relay_probe.py, 2026-08-19), so six
+    # take_along_axis calls are fused into two
     max_cc = jnp.maximum(ccb, cce)
+    stk = jnp.stack([e, cce, b, ccb, max_cc])            # (5, R, max_m)
+    rstk = jnp.take_along_axis(stk, flip[None], axis=2)
+    r_e, r_cce, r_b, r_ccb, r_max = (rstk[0], rstk[1], rstk[2],
+                                     rstk[3], rstk[4])
+    r_pe = jnp.take_along_axis(pe, flip, axis=1)
     lf = PP.rel.logfact
-    bcnt = jnp.concatenate([ccb, rev(cce)])
-    ecnt = jnp.concatenate([cce, rev(ccb)])
+    bcnt = jnp.concatenate([ccb, r_cce])
+    ecnt = jnp.concatenate([cce, r_ccb])
+    # both logfact planes as one gather
+    lf2 = lf[jnp.clip(jnp.stack([bcnt, ecnt]), 0, 32767)]
     U = {
-        "bpos": jnp.concatenate([b, rev(e) - 1]),
+        "bpos": jnp.concatenate([b, r_e - 1]),
         "bcnt": bcnt,
-        "epos": jnp.concatenate([e - 1, rev(b)]),
+        "epos": jnp.concatenate([e - 1, r_b]),
         "ecnt": ecnt,
-        "max_cc": jnp.concatenate([max_cc, rev(max_cc)]),
-        "lf_bcnt": lf[jnp.clip(bcnt, 0, 32767)],
-        "lf_ecnt": lf[jnp.clip(ecnt, 0, 32767)],
-        "pe_rel": jnp.concatenate([pe, rev(pe)]),
+        "max_cc": jnp.concatenate([max_cc, r_max]),
+        "lf_bcnt": lf2[0],
+        "lf_ecnt": lf2[1],
+        "pe_rel": jnp.concatenate([pe, r_pe]),
         "m": jnp.concatenate([m, m]),
         "plen": jnp.concatenate([plen, plen]),
         "fwd": jnp.concatenate([jnp.ones(R, bool), jnp.zeros(R, bool)]),
     }
-    asgn, mm = _rel_pipeline(U, PP, 2 * R, max_m)
-    return asgn.astype(jnp.int8), mm
+    asgn, mm, rescue = _rel_pipeline(U, PP, 2 * R, max_m, demotes=False)
+    return asgn.astype(jnp.int8), mm, rescue
 
 
 @functools.partial(jax.jit, static_argnames=("R", "max_m"))
@@ -459,7 +602,7 @@ def classify_batch_dev(fblob, iblob, PP: PipelineParams,
     callers recompute those with the exact oracle)."""
     EPS = 1e-5   # matches TpuEngine.REL_MARGIN_EPS
     U = _unpack(fblob, iblob, Bn, max_n, R2, max_m)
-    rel2, rel_mm = _rel_pipeline(U, PP, R2, max_m)
+    rel2, rel_mm, _rescue = _rel_pipeline(U, PP, R2, max_m)
     rel_out = _reconcile_dev(rel2, U["m"], U["bcnt"], U["ecnt"],
                              U["fwd"], R2 // 2, max_m)
     asgn_un = jnp.full((Bn, max_n), N_STATE, jnp.int32)

@@ -457,6 +457,8 @@ class TpuEngine:
                                     st["n_rel"], st["_plens"], R, max_m)
         st["max_m"] = max_m
         sz = R * max_m
+        st["rel_b"] = ib[0:sz].reshape(R, max_m)
+        st["rel_e"] = ib[sz:2 * sz].reshape(R, max_m)
         st["rel_ccb"] = ib[2 * sz:3 * sz].reshape(R, max_m)
         st["rel_cce"] = ib[3 * sz:4 * sz].reshape(R, max_m)
         st["rel_m"] = ib[4 * sz:4 * sz + R]
@@ -477,9 +479,10 @@ class TpuEngine:
 
             def fetch():
                 try:
-                    asgn, mm = out
+                    asgn, mm, rescue = out
                     box["v"] = np.ascontiguousarray(np.asarray(asgn))
                     box["mm"] = np.asarray(mm)
+                    box["rescue"] = np.asarray(rescue)
                 except BaseException as e:   # surfaced at _finish
                     box["err"] = e
 
@@ -574,13 +577,22 @@ class TpuEngine:
             n = len(g)
             rel_out = None
             if "thread" in st:
-                from classpro_tpu.tpu.device_pipeline import reconcile_fwbw
+                from classpro_tpu.tpu.device_pipeline import (
+                    demote_host, reconcile_fwbw)
 
                 st["thread"].join()
                 if "err" in st["box"]:
                     raise st["box"]["err"]
-                # device ships BOTH direction rows; the hdrr-tie
-                # reconciliation runs here with IEEE doubles
+                # device ships BOTH direction rows post-rescue; the
+                # integer demotions (class_rel.c:650-713) and the
+                # hdrr-tie reconciliation run here with exact host
+                # arithmetic (the demotions cost ~15 ms of relay
+                # reduction kernels on device, ~0.3 ms in numpy)
+                st["box"]["v"] = demote_host(
+                    st["box"]["v"], st["box"]["rescue"],
+                    st["rel_b"], st["rel_e"], st["rel_ccb"],
+                    st["rel_cce"], st["rel_m"],
+                    int(self.gm.cov[HAPLO]), int(self.gm.cov[DIPLO]))
                 rel_out = reconcile_fwbw(st["box"]["v"], st["rel_ccb"],
                                          st["rel_cce"], st["rel_m"])
                 self._exact_guard(st, rel_out)

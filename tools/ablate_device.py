@@ -66,9 +66,8 @@ def main() -> None:
         ex = eng._rel_exec(R, mm)
 
         def run():
-            a, m = ex(fb, ib)
-            np.asarray(a)
-            np.asarray(m)
+            for o in ex(fb, ib):
+                np.asarray(o)
 
         run()  # warm: build + first execution
         ts = []

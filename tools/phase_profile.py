@@ -79,10 +79,15 @@ def main() -> None:
             out = eng._rel_exec(st["_R"], st["_mm"],
                                 eng._next_device())(fb, ib)
             t = tick("dispatch", t)
-            asgn, mm = out
+            asgn, mm, rescue = out
             v = np.ascontiguousarray(np.asarray(asgn))
             mmh = np.asarray(mm)
+            resc = np.asarray(rescue)
             t = tick("device wait+fetch", t)
+            from classpro_tpu.tpu.device_pipeline import demote_host
+            v = demote_host(v, resc, st["rel_b"], st["rel_e"],
+                            st["rel_ccb"], st["rel_cce"], st["rel_m"],
+                            int(gm.cov[2]), int(gm.cov[3]))
             rel_out = reconcile_fwbw(v, st["rel_ccb"], st["rel_cce"],
                                      st["rel_m"])
             st["box"] = {"v": v, "mm": mmh}
