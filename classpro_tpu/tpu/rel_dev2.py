@@ -97,21 +97,70 @@ _ABLATE = frozenset(
     s for s in _os.environ.get("CP_ABLATE", "").split(",") if s)
 
 
+# ---------------------------------------------------------------------
+# Elementwise replacements for tiny-axis (size-4) reductions.  Inside
+# the scan body every reduce/argmax lowers to its own kernel, and the
+# relay charges ~15-70us of dispatch per in-loop kernel (~1-2 ms out of
+# loop) regardless of size — tools/relay_probe.py.  A size-4 max/argmax
+# as a maximum/where tree is pure elementwise work that fuses for free.
+# Semantics match jnp.max/argmax bit-for-bit on non-NaN data (strict >
+# keeps first-wins ties); NaN-poisoned rows can pick a different index
+# than jnp.argmax (which treats NaN as maximal), but every NaN source
+# in this scan (the has_inf +inf->NaN poisoning) also forces the row's
+# guard margin to 1e-30, so such rows are host-recomputed exactly.
+
+
+def _s4(x, axis):
+    """The four static slices along a size-4 axis."""
+    xs = jnp.moveaxis(x, axis, 0)
+    return xs[0], xs[1], xs[2], xs[3]
+
+
+def _emax4(x, axis):
+    a, b, c, d = _s4(x, axis)
+    return jnp.maximum(jnp.maximum(a, b), jnp.maximum(c, d))
+
+
+def _emin4(x, axis):
+    a, b, c, d = _s4(x, axis)
+    return jnp.minimum(jnp.minimum(a, b), jnp.minimum(c, d))
+
+
+def _emaxarg4(x, axis):
+    """(max, first-wins argmax) along a size-4 axis, elementwise."""
+    a, b, c, d = _s4(x, axis)
+    v, i = a, jnp.zeros(a.shape, jnp.int32)
+    for k, xk in ((1, b), (2, c), (3, d)):
+        take = xk > v
+        v = jnp.maximum(v, xk)          # NaN-propagating, like jnp.max
+        i = jnp.where(take, k, i)
+    return v, i
+
+
+def _eany4(x, axis):
+    a, b, c, d = _s4(x, axis)
+    return (a | b) | (c | d)
+
+
+def _eall4(x, axis):
+    a, b, c, d = _s4(x, axis)
+    return (a & b) & (c & d)
+
+
 def _top2_margin(x, axis):
-    """top1 - top2 along ``axis``: the flip distance of that argmax.
-    +inf when fewer than two finite candidates (nothing to flip to);
-    0 when NaN-poisoned (conservative: always flag)."""
+    """top1 - top2 along a size-4 ``axis``: the flip distance of that
+    argmax.  +inf when fewer than two finite candidates (nothing to
+    flip to); tiny positive when NaN-poisoned (conservative: always
+    flag).  Elementwise (see the kernel-cost note above)."""
     if _NO_GUARD:
         return jnp.full(tuple(d for i, d in enumerate(x.shape)
                               if i != (axis % x.ndim)), jnp.inf)
-    top1k = jnp.max(x, axis=axis, keepdims=True)
-    am = jnp.argmax(x, axis=axis)                  # first max instance
-    n = x.shape[axis]
-    sh = [1] * x.ndim
-    sh[axis] = n
-    oh = jnp.expand_dims(am, axis) == jnp.arange(n).reshape(sh)
-    top2 = jnp.max(jnp.where(oh, -jnp.inf, x), axis=axis)
-    top1 = jnp.squeeze(top1k, axis)
+    xs = _s4(x, axis)
+    top1, am = _emaxarg4(x, axis)
+    masked = [jnp.where(am == k, -jnp.inf, xk)
+              for k, xk in enumerate(xs)]
+    top2 = jnp.maximum(jnp.maximum(masked[0], masked[1]),
+                       jnp.maximum(masked[2], masked[3]))
     mgn = top1 - top2
     mgn = jnp.where(jnp.isneginf(top2), jnp.inf, mgn)
     # margin EXACTLY 0 = bit-equal tie: both sides hold identical
@@ -162,15 +211,14 @@ def _lf_oh(idx, lf_small):
 
 
 def _sel4(reg, sel):
-    """reg[b, sel[b,t], ...] for sel (B,4): one-hot sum over the 4
-    predecessor cells (replaces take_along_axis; exact selection)."""
-    oh = jnp.arange(4)[None, None, :] == sel[:, :, None]        # (B,t,s)
-    shape = oh.shape + (1,) * (reg.ndim - 2)
-    ohx = oh.reshape(shape)
-    regx = jnp.expand_dims(reg, 1)                              # (B,1,s,...)
-    if reg.dtype == bool:
-        return jnp.any(ohx & regx, axis=2)
-    return jnp.sum(jnp.where(ohx, regx, 0), axis=2)
+    """reg[b, sel[b,t], ...] for sel (B,4): a where-chain over the 4
+    predecessor cells (exact selection, pure elementwise — a one-hot
+    sum is a reduce kernel per call inside the scan)."""
+    selx = sel.reshape(sel.shape + (1,) * (reg.ndim - 2))       # (B,t,1..)
+    r = [reg[:, k][:, None] for k in range(4)]                  # (B,1,...)
+    return jnp.where(selx == 0, r[0],
+                     jnp.where(selx == 1, r[1],
+                               jnp.where(selx == 2, r[2], r[3])))
 
 
 def _lane_init(L, P: RelParams2):
@@ -196,8 +244,13 @@ def _lane_init(L, P: RelParams2):
     dpE = L["logpE"][:, 0]
 
     st_r_cnt = covR
-    lf_r = _lf_oh(st_r_cnt, P.lf_small)
-    lf_rd = _lf_oh(st_r_cnt - bcnt0, P.lf_small)
+    # one fused gather for both logfact reads (out-of-loop gather
+    # kernels cost ~1 ms each on the relay; _lf_oh's one-hot reduce
+    # likewise)
+    n1 = P.lf_small.shape[0]
+    lf_pair0 = P.lf_small[jnp.clip(
+        jnp.stack([st_r_cnt, st_r_cnt - bcnt0]), 0, n1 - 1)]
+    lf_r, lf_rd = lf_pair0[0], lf_pair0[1]
     logp_er = jnp.where(
         bcnt0 < st_r_cnt,
         lf_r - lf_b0 - lf_rd + bcnt0 * P.log_1m_pe_mean
@@ -312,7 +365,7 @@ def _lane_step(carry, xs, consts, P: RelParams2):
     logp_st = jnp.stack([logpE, logpR, logpH, logpD], axis=2)
     # Normalisation dropped (argmax-invariant); C special cases kept:
     lp = jnp.where((dp == NEG_INF)[:, :, None], NEG_INF, logp_st)
-    mx = jnp.max(lp, axis=(1, 2))
+    mx = _emax4(_emax4(lp, 2), 1)
     has_inf = jnp.isposinf(mx)
     zero = mx < -745.13  # C: psum == 0.0 (all exp underflow)
     logp_tr = jnp.where(
@@ -332,15 +385,15 @@ def _lane_step(carry, xs, consts, P: RelParams2):
     # near the cutoff, so rows with live entries in that band are
     # flagged for exact host recompute instead of certified by margin.
     m_band = jnp.where(
-        jnp.any((logp_tr > -745.2) & (logp_tr < -719.0), axis=(1, 2)),
+        _eany4(_eany4((logp_tr > -745.2) & (logp_tr < -719.0), 2), 1),
         1e-30, jnp.inf)
     logp_tr = jnp.where(logp_tr < -745.13, NEG_INF, logp_tr)
 
     # ---- only_r (class_rel.c:348-356)
     scores = dp[:, :, None] + logp_tr
-    best_t = jnp.argmax(scores, axis=2)
-    dead_s = jnp.max(scores, axis=2) == NEG_INF
-    only_r = jnp.all(dead_s | (best_t == REPEAT), axis=1)
+    sc_best_t, best_t = _emaxarg4(scores, 2)
+    dead_s = sc_best_t == NEG_INF
+    only_r = _eall4(dead_s | (best_t == REPEAT), 1)
     # exactness guard: per s the only_r question is BINARY — does
     # REPEAT-or-dead beat every other target — and the reference breaks
     # at the first non-REPEAT row (class_rel.c:348-356), so only rows
@@ -348,32 +401,33 @@ def _lane_step(carry, xs, consts, P: RelParams2):
     # (A near-tie between two non-REPEAT targets is irrelevant here; it
     # is guarded at the per-target pick below.)
     sc_rep = scores[:, :, REPEAT]
-    sc_oth = jnp.max(
-        jnp.where(iota4[:, None, :] == REPEAT, NEG_INF, scores), axis=2)
+    sc_oth = _emax4(
+        jnp.where(iota4[:, None, :] == REPEAT, NEG_INF, scores), 2)
     m_or = jnp.abs(sc_rep - sc_oth)
     m_or = jnp.where(jnp.isneginf(sc_rep) | jnp.isneginf(sc_oth),
                      jnp.inf, m_or)
     m_or = jnp.where(jnp.isnan(m_or), 1e-30, m_or)
     rep_s = dead_s | (best_t == REPEAT)
-    prefix_ok = jnp.cumprod(jnp.concatenate(
-        [jnp.ones((B, 1), jnp.int32), rep_s[:, :3].astype(jnp.int32)],
-        axis=1), axis=1) > 0
-    m_onlyr = jnp.min(jnp.where(prefix_ok, m_or, jnp.inf), axis=1)
+    p1 = rep_s[:, 0]
+    p2 = p1 & rep_s[:, 1]
+    prefix_ok = jnp.stack(
+        [jnp.ones_like(p1), p1, p2, p2 & rep_s[:, 2]], axis=1)
+    m_onlyr = _emin4(jnp.where(prefix_ok, m_or, jnp.inf), 1)
 
     # ---- HH/DD coupling (class_rel.c:383-386)
     colH = scores[:, :, HAPLO]
     colD = scores[:, :, DIPLO]
-    maxs_h = jnp.where(jnp.max(colH, axis=1) == NEG_INF, N_STATE,
-                       jnp.argmax(colH, axis=1))
-    maxs_d = jnp.where(jnp.max(colD, axis=1) == NEG_INF, N_STATE,
-                       jnp.argmax(colD, axis=1))
+    vH, aH = _emaxarg4(colH, 1)
+    vD, aD = _emaxarg4(colD, 1)
+    maxs_h = jnp.where(vH == NEG_INF, N_STATE, aH)
+    maxs_d = jnp.where(vD == NEG_INF, N_STATE, aD)
     couple = (maxs_h == HAPLO) & (maxs_d == DIPLO)
     # exactness guard: the coupling trigger asks only whether row
     # HAPLO tops colH and row DIPLO tops colD — binary margins
     def _bin_margin(col, idx):
         own = col[:, idx]
-        oth = jnp.max(jnp.where(jnp.arange(4)[None, :] == idx,
-                                NEG_INF, col), axis=1)
+        oth = _emax4(jnp.where(jnp.arange(4)[None, :] == idx,
+                               NEG_INF, col), 1)
         d = jnp.abs(own - oth)
         d = jnp.where(jnp.isneginf(own) | jnp.isneginf(oth), jnp.inf, d)
         return jnp.where(jnp.isnan(d), 1e-30, d)
@@ -389,12 +443,11 @@ def _lane_step(carry, xs, consts, P: RelParams2):
     scores = dp[:, :, None] + logp_tr
 
     # ---- per-target best pred (class_rel.c:390-397)
-    max_s = jnp.argmax(scores, axis=1)      # (B, t); ties -> E<R<H<D
-    max_v = jnp.max(scores, axis=1)
+    max_v, max_s = _emaxarg4(scores, 1)     # (B, t); ties -> E<R<H<D
     dead_t = max_v == NEG_INF
     sel = jnp.where(dead_t, 0, max_s)
     # exactness guard: flip distance of each per-target predecessor pick
-    m_sel = jnp.min(_top2_margin(scores, axis=1), axis=1)
+    m_sel = _emin4(_top2_margin(scores, axis=1), 1)
 
     regs_i_n = _sel4(regs_i, sel)
     regs_b_n = _sel4(regs_b, sel)
@@ -533,9 +586,13 @@ def _lane_step(carry, xs, consts, P: RelParams2):
 
     # exactness guard: the only_r decision margin always counts; the
     # selection/coupling/truncation margins only matter when the step
-    # actually selects (not only_r)
+    # actually selects (not only_r).  has_inf rows are always flagged:
+    # their NaN poisoning makes argmax semantics backend-dependent
+    # (the elementwise first-wins trees above skip NaN where jnp.argmax
+    # would treat it as maximal), so the host decides them exactly.
+    m_poison = jnp.where(has_inf, 1e-30, jnp.inf)
     step_margin = jnp.minimum(
-        jnp.minimum(m_onlyr, m_band),
+        jnp.minimum(m_onlyr, jnp.minimum(m_band, m_poison)),
         jnp.where(only_r, jnp.inf, jnp.minimum(m_coup, m_sel)))
     mmin_n = jnp.where(live, jnp.minimum(mmin, step_margin), mmin)
 
@@ -656,7 +713,7 @@ def rel_dp_pass2(bpos, bcnt, epos, ecnt, max_cc, lf_bcnt, logpE_all,
         rpos = jnp.concatenate(
             [jnp.zeros((Lb, 1), bool), jnp.moveaxis(rposs, 0, 1)], axis=1)
         last = jnp.maximum(Ls[s]["m"] - 1, 0)
-        cur0 = jnp.argmax(dp_f, axis=1).astype(jnp.int32)
+        cur0 = _emaxarg4(dp_f, 1)[1]
 
         # dynamic-trip walk j = max(last)..1 (columns past the batch
         # maximum keep cur0, exactly as the padded steps did)
@@ -673,8 +730,12 @@ def rel_dp_pass2(bpos, bcnt, epos, ecnt, max_cc, lf_bcnt, logpE_all,
                 buf, cur[:, None], (jnp.int32(0), j))
             bp_j = jax.lax.dynamic_index_in_dim(bps, j - 1, 1,
                                                 keepdims=False)
-            oh = jnp.arange(4)[None, :] == jnp.clip(cur, 0, 3)[:, None]
-            prev = jnp.sum(jnp.where(oh, bp_j, 0), axis=1).astype(jnp.int32)
+            cc = jnp.clip(cur, 0, 3)
+            prev = jnp.where(
+                cc == 0, bp_j[:, 0],
+                jnp.where(cc == 1, bp_j[:, 1],
+                          jnp.where(cc == 2, bp_j[:, 2],
+                                    bp_j[:, 3]))).astype(jnp.int32)
             cur = jnp.where(j <= last, prev, cur)
             return t + 1, cur, buf
 
