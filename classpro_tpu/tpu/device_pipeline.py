@@ -586,9 +586,46 @@ def _rel_only_core(fblob, iblob, PP: PipelineParams, R: int, max_m: int):
     return asgn.astype(jnp.int8), mm, rescue
 
 
+# minimum decision margin below which a read's rel stage is recomputed
+# on the host with exact arithmetic (the engine's exactness guard; see
+# TpuEngine.REL_MARGIN_EPS for the error-budget derivation).  The
+# risky-flag comparison runs HERE, on device, in f64 — the shipped f32
+# margin is telemetry only.
+REL_MARGIN_EPS = 1e-5
+
+
+def _pack_out(asgn, mm, rescue, max_m: int):
+    """Fuse the three rel outputs into ONE uint8 array (2R, max_m+5):
+    [asgn bytes | flags (bit0 risky, bit1 rescue) | f32(margin) x4].
+
+    On the 08-18 relay every np.asarray is its own synchronous round
+    trip (~25-30 ms); three outputs fetched separately cost ~3 RTTs
+    per program — measured 2026-08-19: an echo program (zero compute)
+    took ~92-102 ms of the full 114 ms.  One fused fetch pays one."""
+    risky = (mm > 0.0) & (mm < REL_MARGIN_EPS)          # f64, exact
+    flags = risky.astype(jnp.uint8) | (rescue.astype(jnp.uint8) << 1)
+    mm32 = jax.lax.bitcast_convert_type(
+        mm.astype(jnp.float32), jnp.uint8)               # (2R, 4) LE
+    return jnp.concatenate(
+        [asgn.astype(jnp.uint8), flags[:, None], mm32], axis=1)
+
+
+def unpack_out(buf, max_m: int):
+    """Host-side split of _pack_out's blob: returns (asgn int8
+    (2R, max_m), risky bool, rescue bool, margin f32 (2R,))."""
+    import numpy as np
+
+    buf = np.ascontiguousarray(buf)
+    v = buf[:, :max_m].view(np.int8)
+    flags = buf[:, max_m]
+    mm = buf[:, max_m + 1: max_m + 5].copy().view(np.float32).ravel()
+    return v, (flags & 1) != 0, (flags & 2) != 0, mm
+
+
 @functools.partial(jax.jit, static_argnames=("R", "max_m"))
 def rel_only_dev(fblob, iblob, PP: PipelineParams, R: int, max_m: int):
-    return _rel_only_core(fblob, iblob, PP, R, max_m)
+    asgn, mm, rescue = _rel_only_core(fblob, iblob, PP, R, max_m)
+    return _pack_out(asgn, mm, rescue, max_m)
 
 
 @functools.partial(jax.jit,

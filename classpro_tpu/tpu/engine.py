@@ -387,8 +387,9 @@ class TpuEngine:
             fb = np.full(R * max_m, NEG_INF)
             ib = np.ones(4 * R * max_m + 2 * R, np.int32)
             for dev in (self.devices or [None]):
-                jax.block_until_ready(
-                    self._rel_exec(R, max_m, dev)(fb, ib))
+                # fetch, don't block_until_ready: on the 08-18 relay
+                # only a host fetch waits for real completion
+                np.asarray(self._rel_exec(R, max_m, dev)(fb, ib))
 
     # ------------------------------------------------------------------
     def classify_chunk(self, seqs: list[str], profiles: list[np.ndarray]) -> list[str]:
@@ -479,10 +480,14 @@ class TpuEngine:
 
             def fetch():
                 try:
-                    asgn, mm, rescue = out
-                    box["v"] = np.ascontiguousarray(np.asarray(asgn))
-                    box["mm"] = np.asarray(mm)
-                    box["rescue"] = np.asarray(rescue)
+                    from classpro_tpu.tpu.device_pipeline import unpack_out
+
+                    # ONE fused fetch: each np.asarray is a synchronous
+                    # ~25-30 ms round trip on this relay; the device
+                    # packs all three outputs into one uint8 blob
+                    buf = np.asarray(out)
+                    (box["v"], box["risky"], box["rescue"],
+                     box["mm"]) = unpack_out(buf, st["max_m"])
                 except BaseException as e:   # surfaced at _finish
                     box["err"] = e
 
@@ -506,22 +511,23 @@ class TpuEngine:
 
     def _exact_guard(self, st, rel_out) -> None:
         """Host-exact recompute of flagged rows (in place)."""
-        mm = st["box"].get("mm")
-        if mm is None:
+        risky = st["box"].get("risky")
+        if risky is None:
             return
         R = rel_out.shape[0]
         # margin EXACTLY 0 = a bit-equal (same-expression) tie that
         # resolves first-wins identically on device and in C — exempt.
         # The dangerous class shows as tiny NONZERO margins (a true
         # exact tie seen through perturbed table values, fuzz seed
-        # 8339) or genuine near-ties.
-        def risky(v):
-            return (v > 0.0) & (v < self.REL_MARGIN_EPS)
+        # 8339) or genuine near-ties.  The risky comparison ran on
+        # DEVICE in f64 (device_pipeline._pack_out); the fetched f32
+        # margin is telemetry only.
+        mm = st["box"]["mm"]
         pos = mm[(mm > 0.0) & np.isfinite(mm)]
         if pos.size:
             self.guard_min_margin = min(self.guard_min_margin,
                                         float(pos.min()))
-        flagged = risky(mm[:R]) | risky(mm[R:])
+        flagged = risky[:R] | risky[R:]
         if not flagged.any():
             return
         self.guard_flagged += int(flagged.sum())

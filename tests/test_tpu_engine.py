@@ -385,3 +385,33 @@ def test_relaxation_table_vs_exact_self_consistency(monkeypatch):
     monkeypatch.setenv("CP_EXACT_SK", "1")
     got = eng.classify_chunk(seqs, profs)
     assert got == want
+
+
+def test_pack_out_roundtrip():
+    """The fused device output blob (one fetch = one relay round trip,
+    device_pipeline._pack_out) must ship asgn/risky/rescue/margin
+    losslessly: the risky comparison runs on-device in f64, and the
+    f32 margin bytes (bitcast) must view back on the little-endian
+    host."""
+    import jax
+    import jax.numpy as jnp
+
+    from classpro_tpu.tpu.device_pipeline import (REL_MARGIN_EPS,
+                                                  _pack_out, unpack_out)
+
+    mm = jnp.asarray(np.array(
+        [0.0, 1e-30, 3.7e-6, REL_MARGIN_EPS, 1.63e-4, np.inf, 28.7, 0.5]))
+    asgn = jnp.asarray((np.arange(32, dtype=np.int8) % 4).reshape(8, 4))
+    resc = jnp.asarray(np.array([1, 0, 1, 0, 0, 1, 0, 1], bool))
+    buf = np.asarray(
+        jax.jit(_pack_out, static_argnames="max_m")(asgn, mm, resc, 4))
+    assert buf.dtype == np.uint8 and buf.shape == (8, 9)
+    v, risky, r2, mm32 = unpack_out(buf, 4)
+    assert (v == np.asarray(asgn)).all()
+    assert (r2 == np.asarray(resc)).all()
+    # 0 margin = bit-equal tie (exempt); eps itself is NOT risky (<)
+    assert risky.tolist() == [False, True, True, False,
+                              False, False, False, False]
+    fin = np.isfinite(mm32)
+    assert np.isinf(mm32[5]) and mm32[5] > 0
+    assert (mm32[fin] == np.float32(np.asarray(mm))[fin]).all()

@@ -66,8 +66,7 @@ def main() -> None:
         ex = eng._rel_exec(R, mm)
 
         def run():
-            for o in ex(fb, ib):
-                np.asarray(o)
+            np.asarray(ex(fb, ib))   # single fused output blob
 
         run()  # warm: build + first execution
         ts = []

@@ -79,10 +79,9 @@ def main() -> None:
             out = eng._rel_exec(st["_R"], st["_mm"],
                                 eng._next_device())(fb, ib)
             t = tick("dispatch", t)
-            asgn, mm, rescue = out
-            v = np.ascontiguousarray(np.asarray(asgn))
-            mmh = np.asarray(mm)
-            resc = np.asarray(rescue)
+            from classpro_tpu.tpu.device_pipeline import unpack_out
+            v, risky, resc, mmh = unpack_out(np.asarray(out),
+                                             st["max_m"])
             t = tick("device wait+fetch", t)
             from classpro_tpu.tpu.device_pipeline import demote_host
             v = demote_host(v, resc, st["rel_b"], st["rel_e"],
@@ -90,7 +89,7 @@ def main() -> None:
                             int(gm.cov[2]), int(gm.cov[3]))
             rel_out = reconcile_fwbw(v, st["rel_ccb"], st["rel_cce"],
                                      st["rel_m"])
-            st["box"] = {"v": v, "mm": mmh}
+            st["box"] = {"v": v, "mm": mmh, "risky": risky}
             eng._exact_guard(st, rel_out)
             t = tick("reconcile+guard", t)
             g, n = st["g"], len(st["g"])
