@@ -87,7 +87,11 @@ def main() -> None:
     seqs = [r.seq for r in reads]
     total_kmers = sum(len(p) for p in profs)
 
-    eng = TpuEngine(gm, batch_size=200)
+    # CP_BENCH_BATCH: measurement knob for the chunk-size experiment
+    # (RTT is paid per device program, so bigger chunks amortize it;
+    # default 200 = the committed production setting)
+    eng = TpuEngine(gm, batch_size=int(os.environ.get("CP_BENCH_BATCH",
+                                                      "200")))
 
     def run_stream(reps: int) -> None:
         B = eng.batch_size

@@ -65,6 +65,17 @@ class PipelineParams(NamedTuple):
     gcov: jnp.ndarray      # (4,) int64 global coverages (E, R, H, D)
 
 
+class RelOnlyParams(NamedTuple):
+    """The PipelineParams subset the rel-only program reads (.rel and
+    .gcov).  The engine passes THIS to rel_only_dev so the AOT
+    executable's signature excludes the unrel tables, whose shapes are
+    dataset-dependent (btg_flat) — with them in the signature every
+    dataset would fragment the process-global executable cache and
+    re-pay the minutes-long first execution (engine._AOT_CACHE)."""
+    rel: RelParams2
+    gcov: jnp.ndarray
+
+
 def build_pipeline_params(gm: GlobalModel) -> PipelineParams:
     from classpro_tpu.numerics import LOGFACT
     from classpro_tpu.tpu.tables import build_tables

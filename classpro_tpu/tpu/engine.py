@@ -284,6 +284,13 @@ def pack_chunk(rows, ivs, nrels, plens):
     return fblob, iblob, (Bn, max_n, 2 * R, max_m), meta
 
 
+# process-global AOT executable cache (see _rel_exec): one warmed
+# device program per (R, max_m, device, pp-avals) bucket, shared by
+# every TpuEngine in the process — first execution costs minutes on
+# this platform, and multi-dataset tools construct many engines.
+_AOT_CACHE: dict = {}
+
+
 class TpuEngine:
     # batch_size default 200 = the measured-optimal production chunk
     # (bench.py sweep: 160 worse, 240 noise-equal, 512 slower)
@@ -334,34 +341,60 @@ class TpuEngine:
     def _rel_exec(self, R: int, max_m: int, dev=None):
         """AOT-compiled rel program per (R, max_m[, device]) bucket:
         each dispatch skips the jit cache/arg-hashing machinery
-        (~3 ms/call on this host)."""
+        (~3 ms/call on this host).  The executable itself is cached
+        PROCESS-GLOBALLY (keyed by bucket + device + table shapes): PP
+        is a runtime argument, so engines over different datasets/
+        models share one warmed program per bucket — on this platform
+        the real device build happens at FIRST EXECUTION and can take
+        minutes, so a per-engine cache would re-pay it for every
+        dataset (tools/tpu_parity.py runs dozens per process)."""
         key = (R, max_m) if dev is None else (R, max_m, dev)
         ex = self._exec_cache.get(key)
         if ex is None:
-            self._cold_notice(key)
-            import jax.numpy as jnp
+            from classpro_tpu.tpu.device_pipeline import RelOnlyParams
 
-            fb_s = jax.ShapeDtypeStruct((R * max_m,), jnp.float64)
-            ib_s = jax.ShapeDtypeStruct((4 * R * max_m + 2 * R,), jnp.int32)
-            # PP stays a runtime argument: closing over it would bake
-            # the ~100MB Skellam tables into the HLO as constants (4x
-            # compile time, bloated persistent-cache entries)
-            pp = self._pp_for(dev)
-            if dev is None:
-                jitted = jax.jit(rel_only_dev,
-                                 static_argnames=("R", "max_m"))
-                aot = jitted.lower(fb_s, ib_s, pp,
-                                   R=R, max_m=max_m).compile()
-            else:
-                # pjit rejects kwargs alongside in_shardings: bake the
-                # static dims into a positional-only wrapper instead
-                from jax.sharding import SingleDeviceSharding
+            full = self._pp_for(dev)
+            pp = RelOnlyParams(rel=full.rel, gcov=full.gcov)
+            # scalar NamedTuple fields (read_len, r_logp, ...) are
+            # pytree leaves too: sign them by python type, arrays by
+            # (shape, dtype) — executables are reusable across engines
+            # whose pp avals match
+            ppsig = tuple(
+                (tuple(leaf.shape), str(leaf.dtype))
+                if hasattr(leaf, "shape") and hasattr(leaf, "dtype")
+                else (type(leaf).__name__,)
+                for leaf in jax.tree_util.tree_leaves(pp))
+            gkey = (R, max_m, dev, ppsig)
+            aot = _AOT_CACHE.get(gkey)
+            if aot is None:
+                self._cold_notice(key)
+                import jax.numpy as jnp
 
-                sd = SingleDeviceSharding(dev)
-                fn = lambda fb, ib, p: rel_only_dev(fb, ib, p,
-                                                    R=R, max_m=max_m)
-                aot = jax.jit(fn, in_shardings=sd, out_shardings=sd
-                              ).lower(fb_s, ib_s, pp).compile()
+                fb_s = jax.ShapeDtypeStruct((R * max_m,), jnp.float64)
+                ib_s = jax.ShapeDtypeStruct((4 * R * max_m + 2 * R,),
+                                            jnp.int32)
+                # PP stays a runtime argument: closing over it would
+                # bake the ~100MB Skellam tables into the HLO as
+                # constants (4x compile time, bloated persistent-cache
+                # entries) — and would also defeat this cross-engine
+                # executable reuse (lowering with a concrete pp still
+                # traces it as an argument, not a constant)
+                if dev is None:
+                    jitted = jax.jit(rel_only_dev,
+                                     static_argnames=("R", "max_m"))
+                    aot = jitted.lower(fb_s, ib_s, pp,
+                                       R=R, max_m=max_m).compile()
+                else:
+                    # pjit rejects kwargs alongside in_shardings: bake
+                    # the static dims into a positional-only wrapper
+                    from jax.sharding import SingleDeviceSharding
+
+                    sd = SingleDeviceSharding(dev)
+                    fn = lambda fb, ib, p: rel_only_dev(fb, ib, p,
+                                                        R=R, max_m=max_m)
+                    aot = jax.jit(fn, in_shardings=sd, out_shardings=sd
+                                  ).lower(fb_s, ib_s, pp).compile()
+                _AOT_CACHE[gkey] = aot
             ex = lambda fb, ib: aot(fb, ib, pp)
             self._exec_cache[key] = ex
         return ex
@@ -420,8 +453,13 @@ class TpuEngine:
             chunks = _prefetch_iter(chunks, prefetch)
         # depth 3 covers one device (host k+1 || device k || finish
         # k-1); with N round-robin devices keep ~2 chunks in flight per
-        # chip so every chip always has a program running
+        # chip so every chip always has a program running.
+        # CP_STREAM_DEPTH: measurement-only override for probing the
+        # relay's cross-program overlap ceiling.
+        import os as _os
+
         depth = 3 if not self.devices else max(3, 2 * len(self.devices) + 1)
+        depth = int(_os.environ.get("CP_STREAM_DEPTH", depth))
         pending: collections.deque = collections.deque()
         for seqs, profiles in chunks:
             pending.append(self._submit(seqs, profiles))
