@@ -448,7 +448,9 @@ class TpuEngine:
         stages and the device round trip (measured ~34 ms per 4M-kmer
         pass on the medium fixture)."""
         import collections
+        import os as _os
 
+        prefetch = int(_os.environ.get("CP_PREFETCH", prefetch))
         if prefetch > 0:
             chunks = _prefetch_iter(chunks, prefetch)
         # depth 3 covers one device (host k+1 || device k || finish

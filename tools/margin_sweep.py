@@ -78,7 +78,10 @@ def main() -> None:
         d = os.path.join(branch, name)
         if os.path.isdir(d):
             datasets.append((d, None))
-    datasets.append((os.path.join(FIX, "medium"), 60))
+    # CP_SWEEP_FULL=1: all 398 medium reads (the default 60 keeps the
+    # committed quick run ~2 min; the full sweep backs COVERAGE.md)
+    lim_med = None if os.environ.get("CP_SWEEP_FULL") == "1" else 60
+    datasets.append((os.path.join(FIX, "medium"), lim_med))
 
     total_reads = 0
     for d, lim in datasets:
