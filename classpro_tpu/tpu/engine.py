@@ -690,10 +690,14 @@ class TpuEngine:
             rows = [i for i in g if len(ivs[i]) > 0]
             if rows:
                 pending.append(self._dispatch(rows, ivs, nrels, profiles))
-        # ONE combined fetch per payload (each separate synchronisation
-        # costs a round trip)
-        out_all = _fetch_flat([o for o, _f, _m in pending])
-        flg_all = _fetch_flat([f for _o, f, _m in pending])
+        # ONE combined fetch for BOTH payloads (each separate
+        # synchronisation costs a full relay round trip): assignments
+        # and guard flags ride one int32 vector, split back on host
+        both = _fetch_flat(
+            [o.ravel() for o, _f, _m in pending]
+            + [f.ravel().astype("int32") for _o, f, _m in pending])
+        n_out = sum(int(np.prod(o.shape)) for o, _f, _m in pending)
+        out_all, flg_all = both[:n_out], both[n_out:]
         off = foff = 0
         for out, flags, meta in pending:
             cnt = int(np.prod(out.shape))
