@@ -415,3 +415,35 @@ def test_pack_out_roundtrip():
     fin = np.isfinite(mm32)
     assert np.isinf(mm32[5]) and mm32[5] > 0
     assert (mm32[fin] == np.float32(np.asarray(mm))[fin]).all()
+
+
+def test_aot_cache_shared_across_engines():
+    """Two engines over the same dataset must share one process-global
+    AOT executable per (R, max_m) bucket (engine._AOT_CACHE) — on the
+    real platform a per-engine cache re-pays a minutes-long first
+    execution for every dataset — and the second engine's output must
+    stay byte-identical."""
+    from classpro_tpu.estimation import build_global_model
+    from classpro_tpu.io.fastk import load_histogram, open_profiles
+    from classpro_tpu.io.fastx import read_fastx
+    from classpro_tpu.tpu import engine as eng_mod
+
+    gold = _gold("tiny")
+    gm = build_global_model(load_histogram(str(FIX / "tiny" / "reads")))
+    P = open_profiles(str(FIX / "tiny" / "reads"))
+    reads = list(read_fastx(str(FIX / "tiny" / "reads.fasta.gz")))[:32]
+    profs = [P.fetch(i) for i in range(32)]
+    seqs = [r.seq for r in reads]
+
+    e1 = eng_mod.TpuEngine(gm, batch_size=32)
+    out1 = e1.classify_chunk(seqs, profs)
+    n_before = len(eng_mod._AOT_CACHE)
+    assert n_before >= 1
+    # a FRESH engine over a fresh (identical-shape) model: no new
+    # executables may be compiled, and outputs must not change
+    gm2 = build_global_model(load_histogram(str(FIX / "tiny" / "reads")))
+    e2 = eng_mod.TpuEngine(gm2, batch_size=32)
+    out2 = e2.classify_chunk(seqs, profs)
+    assert len(eng_mod._AOT_CACHE) == n_before, \
+        "second engine fragmented the global executable cache"
+    assert out1 == out2 == [gold[i] for i in range(32)]
