@@ -447,3 +447,28 @@ def test_aot_cache_shared_across_engines():
     assert len(eng_mod._AOT_CACHE) == n_before, \
         "second engine fragmented the global executable cache"
     assert out1 == out2 == [gold[i] for i in range(32)]
+
+
+def test_stream_knobs_preserve_order(monkeypatch):
+    """CP_STREAM_DEPTH / CP_PREFETCH are measurement knobs; any value
+    must keep classify_stream's per-chunk outputs identical and in
+    input order (engine.py classify_stream)."""
+    from classpro_tpu.estimation import build_global_model
+    from classpro_tpu.io.fastk import load_histogram, open_profiles
+    from classpro_tpu.io.fastx import read_fastx
+    from classpro_tpu.tpu.engine import TpuEngine
+
+    gm = build_global_model(load_histogram(str(FIX / "tiny" / "reads")))
+    P = open_profiles(str(FIX / "tiny" / "reads"))
+    reads = list(read_fastx(str(FIX / "tiny" / "reads.fasta.gz")))
+    n = min(len(reads), 120)
+    seqs = [r.seq for r in reads[:n]]
+    profs = [P.fetch(i) for i in range(n)]
+    eng = TpuEngine(gm, batch_size=40)
+    chunks = [(seqs[i:i + 40], profs[i:i + 40]) for i in range(0, n, 40)]
+    want = [eng.classify_chunk(s, p) for s, p in chunks]
+    for depth, pref in (("1", "0"), ("5", "4")):
+        monkeypatch.setenv("CP_STREAM_DEPTH", depth)
+        monkeypatch.setenv("CP_PREFETCH", pref)
+        got = list(eng.classify_stream(iter(chunks)))
+        assert got == want, (depth, pref)
