@@ -288,8 +288,30 @@ def _lane_init(L, P: RelParams2):
     regs_b = regs_b.at[:, DIPLO, _HASD].set(True)
 
     dp0 = jnp.stack([dpE, dpR, dpH, dpD], axis=1)
+
+    # class_rel.c init normalization (oracle _classify_rel_pass:
+    # psum/exp block): a state whose softmax probability underflows to
+    # EXACTLY 0.0 is DEAD (NEG_INF) at the init cell.  The raw-score
+    # carry is argmax-invariant for the continuous comparisons, but
+    # this kill is a DISCRETE semantic it must replicate: fuzz seed
+    # 21517 left an ERROR state alive at -753 raw where the reference
+    # had killed it, and the live pred flipped the backward pass's
+    # only_r decision (a large-margin flip the guard cannot see).
+    p0 = jnp.exp(dp0)
+    psum0 = jnp.sum(p0, axis=1, keepdims=True)
+    v0 = _div_cr(p0, psum0)
+    dp0 = jnp.where(v0 > 0.0, dp0, NEG_INF)   # nan/0 -> dead, like C
+    # exactness guard: the kill boundary is v == 0 at p/psum =
+    # 2^-1075, i.e. dp - log(psum) = -745.1332; device exp/log/div
+    # rounding (~1e-13 here) can only flip it within a whisker of
+    # that line — flag such rows (and the degenerate all-dead /
+    # overflow cases) for exact host recompute.
+    t0 = dp0 - jnp.log(psum0)
+    near = jnp.any(jnp.abs(t0 + 745.1332) < 0.1, axis=1)
+    degen = (psum0[:, 0] == 0.0) | ~jnp.isfinite(psum0[:, 0])
+    mm0 = jnp.where(near | degen, 1e-30, jnp.inf)  # running min margin
+
     dh0 = jnp.full((B, 4), NEG_INF)
-    mm0 = jnp.full((B,), jnp.inf)   # running min decision margin
     return (dp0, dh0, regs_i, regs_b, e2, mm0)
 
 

@@ -472,3 +472,28 @@ def test_stream_knobs_preserve_order(monkeypatch):
         monkeypatch.setenv("CP_PREFETCH", pref)
         got = list(eng.classify_stream(iter(chunks)))
         assert got == want, (depth, pref)
+
+
+def test_init_underflow_kill_seed21517():
+    """Regression for fuzz seed 21517 read 82 (-M model path): the
+    reference normalizes the INIT DP cell (class_rel.c init psum
+    block) and a state whose softmax probability underflows to 0.0 is
+    DEAD.  The device's raw-score carry must replicate that discrete
+    kill (rel_dev2._lane_init): an ERROR state left alive at -753 raw
+    flipped the backward pass's only_r decision — a large-margin flip
+    the margin guard cannot see — turning an H run into D."""
+    import gzip
+
+    from classpro_tpu.estimation import build_global_model
+    from classpro_tpu.io.fastk import load_histogram
+    from classpro_tpu.tpu.engine import TpuEngine
+
+    fx = FIX / "initkill21517"
+    gm = build_global_model(load_histogram(str(fx / "reads")),
+                            model_path=str(fx / "rand.model"))
+    seq = gzip.open(fx / "read82.fa.gz", "rt").read().split("\n")[1]
+    prof = np.load(fx / "prof82.npy")
+    golden = gzip.open(fx / "golden82.txt.gz", "rt").read().rstrip("\n")
+    eng = TpuEngine(gm)
+    got = eng.classify_chunk([seq], [prof])[0]
+    assert got == golden
