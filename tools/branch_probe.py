@@ -273,6 +273,57 @@ def _random_batch(seed: int):
     return _hist_counts(rng, h, 2 * h), reads
 
 
+def _extreme_batch(seed: int):
+    """Extreme-magnitude batch targeting the device DP's DISCRETE
+    semantics (ref class_rel.c:321-336 normalization): the init-cell
+    softmax-underflow kill, the exp()-underflow cutoff at raw score
+    ~-745.13, the denormal band below ~-708, and the H<D<R count gate.
+    Count levels drawn log-uniform over [6, 32767] put the four state
+    scores hundreds-to-thousands of nats apart, so SOME-but-not-all
+    states cross C's underflow lines — the fuzz-seed-21517 bug class
+    (rel_dev2._lane_init), which the continuous margin guard cannot
+    see because the flipped decision has a large margin."""
+    rng = np.random.default_rng(np.uint64(seed) ^ np.uint64(0x5EED5EED))
+
+    def loglvl(lo, hi):
+        return int(np.exp(rng.uniform(np.log(lo), np.log(hi))))
+
+    reads = []
+    for _ in range(120):
+        kind = rng.integers(0, 4)
+        if kind == 0:      # extreme step levels
+            nseg = int(rng.integers(2, 9))
+            levels = [loglvl(6, 32767) for _ in range(nseg)]
+            segs = rng.integers(30, 160, nseg)
+            c = np.concatenate([np.full(s, l)
+                                for s, l in zip(segs, levels)])
+        elif kind == 1:    # huge ramp, either direction
+            a, b = loglvl(8, 200), loglvl(200, 32767)
+            if rng.random() < 0.5:
+                a, b = b, a
+            c = np.linspace(a, b, int(rng.integers(150, 700))).astype(int)
+        elif kind == 2:    # sane plateau with one extreme excursion
+            lvl = int(rng.integers(10, 60))
+            c = np.full(int(rng.integers(300, 900)), lvl)
+            p = int(rng.integers(K, len(c) - K))
+            c[p: p + int(rng.integers(5, 3 * K))] = loglvl(100, 32767)
+        else:              # noisy high level
+            lvl = loglvl(60, 5000)
+            c = np.clip(lvl + rng.integers(-(lvl // 8), lvl // 8 + 1,
+                                           int(rng.integers(150, 600))),
+                        1, None)
+        if rng.random() < 0.5:  # deep error dips
+            c = c.copy()
+            for _ in range(int(rng.integers(1, 4))):
+                if len(c) <= 2 * K:
+                    break
+                p = int(rng.integers(K, len(c) - K))
+                c[p: p + int(rng.integers(1, K))] = rng.integers(1, 5)
+        reads.append((np.clip(c, 1, 32767), None))
+    h = int(rng.integers(12, 40))
+    return _hist_counts(rng, h, 2 * h), reads
+
+
 def make_search_scenario(seed: int):
     return lambda rng: _random_batch(seed)
 

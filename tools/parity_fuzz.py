@@ -31,7 +31,13 @@ from classpro_tpu.io.fastx import write_fasta
 import tools.branch_probe as bp
 
 
-def build(seed: int, outdir: str, dam: bool = False) -> tuple[int, str]:
+# dataset generator used by build(); --extreme swaps in bp._extreme_batch
+# (the discrete-underflow-directed generator, see its docstring)
+_GEN = None
+
+
+def build(seed: int, outdir: str, dam: bool = False,
+          gen=None) -> tuple[int, str]:
     """Crafted dataset for one seed; returns (K, input file name).
 
     Container format (FASTA/FASTQ, plain/gzip) is drawn per seed so the
@@ -40,7 +46,7 @@ def build(seed: int, outdir: str, dam: bool = False) -> tuple[int, str]:
     rng = np.random.default_rng(seed)
     K = int(rng.choice([16, 24, 32, 40]))
     bp.K = K  # the generator reads the module-level K for dip widths
-    hist_counts, reads = bp._random_batch(seed)
+    hist_counts, reads = (gen or _GEN or bp._random_batch)(seed)
     os.makedirs(outdir, exist_ok=True)
     profiles, recs = [], []
     for i, (counts, runs) in enumerate(reads):
@@ -206,6 +212,9 @@ def main() -> int:
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     dam = "--dam" in sys.argv[1:]
     model = "--model" in sys.argv[1:]
+    if "--extreme" in sys.argv[1:]:
+        global _GEN
+        _GEN = bp._extreme_batch
     n = int(argv[0]) if len(argv) > 0 else 20
     seed0 = int(argv[1]) if len(argv) > 1 else 1000
     env = dict(os.environ)
