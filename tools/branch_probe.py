@@ -352,6 +352,14 @@ SCENARIOS = {
 for _s in PROMOTED_SEEDS:
     SCENARIOS[f"search{_s}"] = make_search_scenario(_s)
 
+# promoted extreme-count seeds (see _extreme_batch): gcov-verified to
+# flood the dead-state predecessor branch (class_rel.c:311) via
+# exp()-underflow kills — the discrete-semantics regime of fuzz seed
+# 21517 that the continuous margin guard cannot certify
+for _s in (5, 8):
+    SCENARIOS[f"extreme{_s}"] = (
+        lambda rng, s=_s: _extreme_batch(s))
+
 
 def build_dataset(outdir: str, name: str) -> None:
     os.makedirs(outdir, exist_ok=True)

@@ -63,6 +63,12 @@ def main() -> int:
                          "corpus by default)")
     ap.add_argument("--out", default=str(REPO / "TPU_PARITY.json"))
     ap.add_argument("--ref", default="/tmp/refbuild/ClassPro")
+    ap.add_argument("--extreme", action="store_true",
+                    help="use the discrete-underflow-directed generator "
+                         "(branch_probe._extreme_batch) for the fuzz "
+                         "half: stresses the backend's emulated-f64 "
+                         "exp/log behavior at the reference's "
+                         "exp()-underflow kill lines end-to-end")
     args = ap.parse_args()
 
     import jax
@@ -100,8 +106,12 @@ def main() -> int:
               f"tools/build_reference.py; skipping fuzz half", flush=True)
         rec["fuzz_skipped"] = "no reference binary"
     elif args.seeds:
+        import tools.branch_probe as bp
         import tools.parity_fuzz as pf
 
+        if args.extreme:
+            pf._GEN = bp._extreme_batch
+            rec["generator"] = "extreme"
         for seed in range(args.seed0, args.seed0 + args.seeds):
             d = f"/tmp/tpupar_{seed}"
             shutil.rmtree(d, ignore_errors=True)
