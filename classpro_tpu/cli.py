@@ -115,10 +115,39 @@ def _classify_db(args) -> int:
     return 0
 
 
+# Supported input extensions (ClassPro.h:326 EXT table, same probe order)
+_EXTS = (".db", ".dam", ".fastq", ".fasta", ".fq", ".fa",
+         ".fastq.gz", ".fasta.gz", ".fq.gz", ".fa.gz")
+
+
+def _check_classify_args(args) -> None:
+    """The reference's argument/input refusal envelope
+    (ClassPro.c:348-500 parse_arg + gene_core.h:46-68 ARG_* macros):
+    -T positive, -c non-negative, -r positive, -P an existing directory,
+    the input openable under a known extension.  Each violation exits 1
+    with one stderr line, like the C."""
+    if args.threads <= 0:
+        raise ValueError(f"Number of threads must be positive "
+                         f"({args.threads})")
+    if args.coverage < 0:
+        raise ValueError(f"Estimated k-mer coverage must be non-negative "
+                         f"({args.coverage})")
+    if args.read_len <= 0:
+        raise ValueError(f"Average read length must be positive "
+                         f"({args.read_len})")
+    if not os.path.isdir(args.tmp_dir):
+        raise ValueError(f"-P option: cannot open directory {args.tmp_dir}")
+    if not any(args.source.endswith(e) for e in _EXTS) \
+            or not os.path.exists(args.source):
+        raise ValueError(f"Cannot open {args.source} as a .db|.dam or "
+                         f".f{{ast}}[aq][.gz] file")
+
+
 def cmd_classify(args: argparse.Namespace) -> int:
     from classpro_tpu.io.classfile import write_class
     from classpro_tpu.timing import PhaseTimer
 
+    _check_classify_args(args)
     timer = PhaseTimer()
     if args.source.endswith((".dam", ".db")):
         rc = _classify_db(args)

@@ -11,7 +11,7 @@ from typing import Iterator
 
 import numpy as np
 
-from classpro_tpu.constants import STOC
+from classpro_tpu.constants import DEFAULTS, STOC
 from classpro_tpu.context import seq_context
 from classpro_tpu.estimation import GlobalModel, build_global_model
 from classpro_tpu.exact.rel import RelClassifier
@@ -19,7 +19,7 @@ from classpro_tpu.exact.unrel import UnrelClassifier
 from classpro_tpu.exact.wall import WallFinder
 from classpro_tpu.io.classfile import ClassRecord, class_header
 from classpro_tpu.io.fastk import load_histogram, open_profiles
-from classpro_tpu.io.fastx import read_fastx
+from classpro_tpu.io.fastx import read_fastx_checked
 
 
 class ReadClassifier:
@@ -63,7 +63,7 @@ def classify_file(fastx_path: str, fastk_root: str, coverage: int = 0,
                             model_path=model_path)
     P = open_profiles(fastk_root)
     clf = ReadClassifier(gm)
-    for rid, rec in enumerate(read_fastx(fastx_path)):
+    for rid, rec in enumerate(read_fastx_checked(fastx_path, DEFAULTS.max_read_len)):
         profile = P.fetch(rid)
         want = max(len(rec.seq) - gm.kmer + 1, 0)
         if len(profile) != want:   # ClassPro.c:184-187 rlen check

@@ -128,6 +128,20 @@ def read_fastx(path: str) -> Iterator[FastxRecord]:
             raise ValueError(f"{path}: not FASTA/FASTQ (starts with {first!r})")
 
 
+def read_fastx_checked(path: str, max_read_len: int) -> Iterator[FastxRecord]:
+    """read_fastx with the reference's FASTX read-length refusal
+    (ClassPro.c:184-187, const.c:57 MAX_READ_LEN): the first read longer
+    than ``max_read_len`` aborts with the reference's message.  DAZZ
+    inputs are exempt in the reference too (they size workspaces from
+    db->maxlen instead, ClassPro.c:87)."""
+    for rec in read_fastx(path):
+        if len(rec.seq) > max_read_len:
+            raise ValueError(
+                f"rlen ({len(rec.seq)}) > MAX_READ_LEN for FASTX inputs "
+                f"({max_read_len})")
+        yield rec
+
+
 def write_fasta(path: str, records: Sequence[tuple[str, str, str]]) -> None:
     """Write (name, comment, seq) triples as single-line FASTA."""
     op = gzip.open if path.endswith(".gz") else open

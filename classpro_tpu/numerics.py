@@ -107,6 +107,216 @@ def bessi(n: int, x: float) -> float:
 
 
 # ---------------------------------------------------------------------------
+# Bessel J_n / Y_n / K_n (bessel.c:22-388, 526-647).  Dead code in the
+# reference — only bessi is on any ClassPro path (prob.c:41 logp_skellam) —
+# ported for component completeness with the same NR polynomials, recurrence
+# order, and error semantics (ValueError where the C fprintf+exit(1)s).
+# Golden-tested against the compiled reference harness
+# (tests/fixtures/bessel_golden.txt, tests/test_numerics.py).
+# ---------------------------------------------------------------------------
+
+
+def _bessj0(x: float) -> float:
+    """bessel.c:80 (static bessj0)."""
+    ax = abs(x)
+    if ax < 8.0:
+        y = x * x
+        ans1 = 57568490574.0 + y * (-13362590354.0 + y * (651619640.7
+               + y * (-11214424.18 + y * (77392.33017 + y * (-184.9052456)))))
+        ans2 = 57568490411.0 + y * (1029532985.0 + y * (9494680.718
+               + y * (59272.64853 + y * (267.8532712 + y * 1.0))))
+        return ans1 / ans2
+    z = 8.0 / ax
+    y = z * z
+    xx = ax - 0.785398164
+    ans1 = 1.0 + y * (-0.1098628627e-2 + y * (0.2734510407e-4
+           + y * (-0.2073370639e-5 + y * 0.2093887211e-6)))
+    ans2 = -0.1562499995e-1 + y * (0.1430488765e-3
+           + y * (-0.6911147651e-5 + y * (0.7621095161e-6
+           - y * 0.934935152e-7)))
+    return math.sqrt(0.636619772 / ax) * (math.cos(xx) * ans1
+                                          - z * math.sin(xx) * ans2)
+
+
+def _bessj1(x: float) -> float:
+    """bessel.c:115 (static bessj1)."""
+    ax = abs(x)
+    if ax < 8.0:
+        y = x * x
+        ans1 = x * (72362614232.0 + y * (-7895059235.0 + y * (242396853.1
+               + y * (-2972611.439 + y * (15704.48260 + y * (-30.16036606))))))
+        ans2 = 144725228442.0 + y * (2300535178.0 + y * (18583304.74
+               + y * (99447.43394 + y * (376.9991397 + y * 1.0))))
+        return ans1 / ans2
+    z = 8.0 / ax
+    y = z * z
+    xx = ax - 2.356194491
+    ans1 = 1.0 + y * (0.183105e-2 + y * (-0.3516396496e-4
+           + y * (0.2457520174e-5 + y * (-0.240337019e-6))))
+    ans2 = 0.04687499995 + y * (-0.2002690873e-3
+           + y * (0.8449199096e-5 + y * (-0.88228987e-6
+           + y * 0.105787412e-6)))
+    ans = math.sqrt(0.636619772 / ax) * (math.cos(xx) * ans1
+                                         - z * math.sin(xx) * ans2)
+    return -ans if x < 0.0 else ans
+
+
+def bessj(n: int, x: float) -> float:
+    """J_n(x) (bessel.c:184-245): upward recurrence for ax > n, downward
+    Miller's algorithm with BIGNO renormalization otherwise."""
+    if n < 0:
+        raise ValueError("n<0 @ bessj")
+    ax = abs(x)
+    if n == 0:
+        return _bessj0(ax)
+    if n == 1:
+        return _bessj1(ax)
+    if ax == 0.0:
+        return 0.0
+    if ax > float(n):
+        tox = 2.0 / ax
+        bjm = _bessj0(ax)
+        bj = _bessj1(ax)
+        for j in range(1, n):
+            bjp = j * tox * bj - bjm
+            bjm = bj
+            bj = bjp
+        ans = bj
+    else:
+        tox = 2.0 / ax
+        m = 2 * ((n + int(math.sqrt(_ACC * n))) // 2)
+        jsum = 0
+        bjp = ans = s = 0.0
+        bj = 1.0
+        for j in range(m, 0, -1):
+            bjm = j * tox * bj - bjp
+            bjp = bj
+            bj = bjm
+            if abs(bj) > _BIGNO:
+                bj *= _BIGNI
+                bjp *= _BIGNI
+                ans *= _BIGNI
+                s *= _BIGNI
+            if jsum:
+                s += bj
+            jsum = not jsum
+            if j == n:
+                ans = bjp
+        s = 2.0 * s - bj
+        ans /= s
+    return -ans if (x < 0.0 and n % 2 == 1) else ans
+
+
+def _bessy0(x: float) -> float:
+    """bessel.c:248 (static bessy0); note the deliberate 0.934945152e-7
+    coefficient (bessy0 differs from bessj0's 0.934935152e-7 in the C)."""
+    if x < 8.0:
+        y = x * x
+        ans1 = -2957821389.0 + y * (7062834065.0 + y * (-512359803.6
+               + y * (10879881.29 + y * (-86327.92757 + y * 228.4622733))))
+        ans2 = 40076544269.0 + y * (745249964.8 + y * (7189466.438
+               + y * (47447.26470 + y * (226.1030244 + y * 1.0))))
+        return (ans1 / ans2) + 0.636619772 * _bessj0(x) * math.log(x)
+    z = 8.0 / x
+    y = z * z
+    xx = x - 0.785398164
+    ans1 = 1.0 + y * (-0.1098628627e-2 + y * (0.2734510407e-4
+           + y * (-0.2073370639e-5 + y * 0.2093887211e-6)))
+    ans2 = -0.1562499995e-1 + y * (0.1430488765e-3
+           + y * (-0.6911147651e-5 + y * (0.7621095161e-6
+           + y * (-0.934945152e-7))))
+    return math.sqrt(0.636619772 / x) * (math.sin(xx) * ans1
+                                         + z * math.cos(xx) * ans2)
+
+
+def _bessy1(x: float) -> float:
+    """bessel.c:283 (static bessy1)."""
+    if x < 8.0:
+        y = x * x
+        ans1 = x * (-0.4900604943e13 + y * (0.1275274390e13
+               + y * (-0.5153438139e11 + y * (0.7349264551e9
+               + y * (-0.4237922726e7 + y * 0.8511937935e4)))))
+        ans2 = 0.2499580570e14 + y * (0.4244419664e12
+               + y * (0.3733650367e10 + y * (0.2245904002e8
+               + y * (0.1020426050e6 + y * (0.3549632885e3 + y)))))
+        return (ans1 / ans2) + 0.636619772 * (_bessj1(x) * math.log(x)
+                                              - 1.0 / x)
+    z = 8.0 / x
+    y = z * z
+    xx = x - 2.356194491
+    ans1 = 1.0 + y * (0.183105e-2 + y * (-0.3516396496e-4
+           + y * (0.2457520174e-5 + y * (-0.240337019e-6))))
+    ans2 = 0.04687499995 + y * (-0.2002690873e-3
+           + y * (0.8449199096e-5 + y * (-0.88228987e-6
+           + y * 0.105787412e-6)))
+    return math.sqrt(0.636619772 / x) * (math.sin(xx) * ans1
+                                         + z * math.cos(xx) * ans2)
+
+
+def bessy(n: int, x: float) -> float:
+    """Y_n(x) (bessel.c:349-384): upward recurrence from Y_0, Y_1."""
+    if n < 0 or x == 0.0:
+        raise ValueError("n<0||x=0.0 @ bessy")
+    if n == 0:
+        return _bessy0(x)
+    if n == 1:
+        return _bessy1(x)
+    tox = 2.0 / x
+    by = _bessy1(x)
+    bym = _bessy0(x)
+    for j in range(1, n):
+        byp = j * tox * by - bym
+        bym = by
+        by = byp
+    return by
+
+
+def _bessk0(x: float) -> float:
+    """bessel.c:526 (static bessk0)."""
+    if x <= 2.0:
+        y = x * x / 4.0
+        return (-math.log(x / 2.0) * bessi0(x)) + (-0.57721566 + y * (0.42278420
+               + y * (0.23069756 + y * (0.3488590e-1 + y * (0.262698e-2
+               + y * (0.10750e-3 + y * 0.74e-5))))))
+    y = 2.0 / x
+    return (c_exp(-x) / math.sqrt(x)) * (1.25331414 + y * (-0.7832358e-1
+           + y * (0.2189568e-1 + y * (-0.1062446e-1 + y * (0.587872e-2
+           + y * (-0.251540e-2 + y * 0.53208e-3))))))
+
+
+def _bessk1(x: float) -> float:
+    """bessel.c:550 (static bessk1)."""
+    if x <= 2.0:
+        y = x * x / 4.0
+        return (math.log(x / 2.0) * bessi1(x)) + (1.0 / x) * (1.0
+               + y * (0.15443144 + y * (-0.67278579 + y * (-0.18156897
+               + y * (-0.1919402e-1 + y * (-0.110404e-2
+               + y * (-0.4686e-4)))))))
+    y = 2.0 / x
+    return (c_exp(-x) / math.sqrt(x)) * (1.25331414 + y * (0.23498619
+           + y * (-0.3655620e-1 + y * (0.1504268e-1 + y * (-0.780353e-2
+           + y * (0.325614e-2 + y * (-0.68245e-3)))))))
+
+
+def bessk(n: int, x: float) -> float:
+    """K_n(x) (bessel.c:610-647): upward recurrence from K_0, K_1."""
+    if n < 0 or x == 0.0:
+        raise ValueError("n<0||x=0.0 @ bessk")
+    if n == 0:
+        return _bessk0(x)
+    if n == 1:
+        return _bessk1(x)
+    tox = 2.0 / x
+    bkm = _bessk0(x)
+    bk = _bessk1(x)
+    for j in range(1, n):
+        bkp = bkm + j * tox * bk
+        bkm = bk
+        bk = bkp
+    return bk
+
+
+# ---------------------------------------------------------------------------
 # Log-probability kernels (prob.c:33-73)
 # ---------------------------------------------------------------------------
 

@@ -65,6 +65,7 @@ def estimate_distributed(mesh, profiles, kmer: int, low: int = 1,
     for the setting where no shared .hist exists)."""
     import dataclasses
 
+    from classpro_tpu.constants import DEFAULTS
     from classpro_tpu.estimation import build_global_model
     from classpro_tpu.io.fastk import Histogram
     from classpro_tpu.parallel.mesh import psum_histogram
@@ -96,10 +97,11 @@ def run_process(source: str, fastk_root: str | None, out: str | None,
         jax.distributed.initialize(coordinator_address=coord,
                                    num_processes=nproc, process_id=pid)
 
+    from classpro_tpu.constants import DEFAULTS
     from classpro_tpu.estimation import build_global_model
     from classpro_tpu.io.classfile import class_header
     from classpro_tpu.io.fastk import load_histogram, open_profiles
-    from classpro_tpu.io.fastx import read_fastx
+    from classpro_tpu.io.fastx import read_fastx_checked
     from classpro_tpu.tpu.engine import TpuEngine
 
     root = source
@@ -130,7 +132,7 @@ def run_process(source: str, fastk_root: str | None, out: str | None,
 
     def chunks():
         buf: list = []
-        for rid, rec in enumerate(read_fastx(source)):
+        for rid, rec in enumerate(read_fastx_checked(source, DEFAULTS.max_read_len)):
             if rid < beg:
                 continue
             if rid >= end:

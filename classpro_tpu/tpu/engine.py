@@ -44,10 +44,11 @@ jax.config.update("jax_enable_x64", True)  # f64 decision path (ARCHITECTURE.md)
 # (measured 430s vs 0.1s after an in-process compile) — worse than
 # recompiling.
 
+from classpro_tpu.constants import DEFAULTS
 from classpro_tpu.estimation import GlobalModel, build_global_model
 from classpro_tpu.io.classfile import ClassRecord, class_header
 from classpro_tpu.io.fastk import load_histogram, open_profiles
-from classpro_tpu.io.fastx import read_fastx
+from classpro_tpu.io.fastx import read_fastx_checked
 from classpro_tpu.numerics import LOGFACT
 from classpro_tpu.tpu.device_pipeline import (build_pipeline_params,
                                               classify_batch_dev,
@@ -799,7 +800,8 @@ def classify_file_tpu(fastx_path: str, fastk_root: str, coverage: int = 0,
     def chunk_iter():
         chunk: list = []
         rid = 0
-        for rec in read_fastx(fastx_path):
+        for rec in read_fastx_checked(fastx_path,
+                                      DEFAULTS.max_read_len):
             chunk.append(rec)
             rid += 1
             if len(chunk) >= batch_size:

@@ -5,8 +5,10 @@ The rel program ships two input arrays (fblob f64 ~262KB + iblob int32
 would fusing them into ONE uint8 blob (device-side bitcast views are
 free elementwise ops) save a per-array fixed cost?  This probe times
 an AOT program called with the same ~790KB shipped as 1 / 2 / 4
-arrays, fetching one tiny scalar that depends on every input (so the
-relay cannot elide any transfer).
+arrays, fetching one tiny scalar that depends on each input array
+(strided samples; transfers are whole-buffer at the JAX layer, so the
+relay cannot skip shipping any array — though a hypothetical
+byte-granular relay could elide unsampled pages).
 
 Run on an IDLE machine (ledger rule).  Usage:
     python3 tools/upload_probe.py [--reps 15]
