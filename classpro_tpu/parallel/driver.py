@@ -85,12 +85,41 @@ def estimate_distributed(mesh, profiles, kmer: int, low: int = 1,
     return build_global_model(hist, **kw)
 
 
+def shard_records(path: str) -> int:
+    """Count + structurally validate a shard file: 4-line fastq-like
+    records, newline-terminated, last record's class line as long as its
+    sequence line.  Returns -1 if the file is missing or malformed
+    (e.g. a run killed mid-write).  Resume granularity per SURVEY §5:
+    per-host shard files are the natural checkpoint unit."""
+    try:
+        with open(path, "rb") as f:
+            data = f.read()
+    except OSError:
+        return -1
+    if not data:
+        return 0
+    if not data.endswith(b"\n"):
+        return -1
+    lines = data.split(b"\n")[:-1]
+    if len(lines) % 4 != 0:
+        return -1
+    if lines and len(lines[-1]) != len(lines[-3]):
+        return -1
+    return len(lines) // 4
+
+
 def run_process(source: str, fastk_root: str | None, out: str | None,
                 nproc: int = 1, pid: int = 0, coord: str | None = None,
                 coverage: int = 0, read_len: int = 20000,
                 model_path: str | None = None, batch_size: int = 200,
-                verbose: bool = False, _skip_init: bool = False) -> str:
-    """One host's share of the job.  Returns the shard (or merged) path."""
+                verbose: bool = False, resume: bool = False,
+                _skip_init: bool = False) -> str:
+    """One host's share of the job.  Returns the shard (or merged) path.
+
+    With ``resume=True``, a shard whose output file already exists,
+    validates structurally, and holds exactly this range's record count
+    is skipped (kill-and-rerun recovery; the reference simply overwrites
+    its temp shards, io.c:139 — resume is a superset, off by default)."""
     if nproc > 1 and not _skip_init:
         import jax
 
@@ -120,6 +149,11 @@ def run_process(source: str, fastk_root: str | None, out: str | None,
     eng = TpuEngine(gm, batch_size=batch_size)
 
     shard = final + (f".{pid}" if nproc > 1 else "")
+    if resume and shard_records(shard) == end - beg:
+        if verbose:
+            print(f"[{pid}/{nproc}] resume: {shard} complete "
+                  f"({end - beg} reads), skipping", file=sys.stderr)
+        return shard
     recs: list = []
 
     K = gm.kmer
@@ -156,11 +190,25 @@ def run_process(source: str, fastk_root: str | None, out: str | None,
     return shard
 
 
-def merge_shards(final: str, nproc: int) -> None:
-    """Read-order concatenation of per-host shards (io.c:70-112)."""
+def merge_shards(final: str, nproc: int,
+                 expected: list[int] | None = None) -> None:
+    """Read-order concatenation of per-host shards (io.c:70-112).
+
+    ``expected`` (per-shard record counts from the same ceil-partition
+    every process used) makes the merge validate completeness first: a
+    missing, truncated, or short shard aborts the merge instead of
+    silently producing a short output file."""
+    paths = [f"{final}.{p}" for p in range(nproc)]
+    if expected is not None:
+        for p, (path, want) in enumerate(zip(paths, expected)):
+            got = shard_records(path)
+            if got != want:
+                raise RuntimeError(
+                    f"shard {p} ({path}) incomplete: {got} records, "
+                    f"expected {want} — not merging")
     from classpro_tpu.io.merge import merge_files
 
-    merge_files(final, [f"{final}.{p}" for p in range(nproc)])
+    merge_files(final, paths)
 
 
 def main(argv=None) -> int:
@@ -176,10 +224,13 @@ def main(argv=None) -> int:
     ap.add_argument("-r", "--read-len", type=int, default=20000)
     ap.add_argument("-M", "--model")
     ap.add_argument("-v", "--verbose", action="store_true")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip shards whose output file is already "
+                         "complete (kill-and-rerun recovery)")
     a = ap.parse_args(argv)
     shard = run_process(a.source, a.fastk_root, a.output, a.nproc, a.pid,
                         a.coord, a.coverage, a.read_len, a.model,
-                        verbose=a.verbose)
+                        verbose=a.verbose, resume=a.resume)
     if a.nproc > 1:
         # cross-host barrier before the merge: one psum over the mesh
         from classpro_tpu.parallel.mesh import (data_parallel_mesh,
@@ -187,7 +238,21 @@ def main(argv=None) -> int:
 
         psum_histogram(data_parallel_mesh(), np.ones(1, np.int64))
         if a.pid == 0:
-            merge_shards(shard.rsplit(".", 1)[0], a.nproc)
+            from classpro_tpu.io.fastk import open_profiles
+
+            fk = a.fastk_root
+            if not fk:
+                fk = a.source
+                for ext in (".fastq", ".fasta", ".fq", ".fa",
+                            ".fastq.gz", ".fasta.gz", ".fq.gz", ".fa.gz"):
+                    if a.source.endswith(ext):
+                        fk = a.source[: -len(ext)]
+                        break
+            nreads = open_profiles(fk).nreads
+            expected = [e - b for b, e in
+                        (shard_range(nreads, a.nproc, p)
+                         for p in range(a.nproc))]
+            merge_shards(shard.rsplit(".", 1)[0], a.nproc, expected)
     return 0
 
 

@@ -166,6 +166,24 @@ def make_wall_stage(gm: GlobalModel):
         return _PyWall(gm)
 
 
+def expand_asgn(asgn_fin, meta, res, K) -> None:
+    """Per-interval assignments -> class strings (one flat repeat);
+    writes res[i] for each read index i in meta's rows (the interval
+    expansion of ClassPro.c:265-270)."""
+    rows, ns, cat, row_flat, col_flat = meta[:5]
+    stoc_lut = np.frombuffer(b"ERHD", dtype=np.uint8)
+    lens_flat = (cat["e"] - cat["b"]).astype(np.int64)
+    asgn_flat = np.clip(asgn_fin[row_flat, col_flat], 0, 3).astype(np.int64)
+    body_all = stoc_lut[np.repeat(asgn_flat, lens_flat)].tobytes()
+    read_off = np.zeros(len(rows) + 1, np.int64)
+    np.cumsum(np.add.reduceat(lens_flat, np.cumsum([0] + ns[:-1])),
+              out=read_off[1:])
+    prefix = "N" * (K - 1)
+    for r, i in enumerate(rows):
+        res[i] = prefix + body_all[
+            read_off[r]: read_off[r + 1]].decode("ascii")
+
+
 def pack_chunk(rows, ivs, nrels, plens):
     """Pack one read group's wall-stage records into the two transfer
     blobs (layout: device_pipeline.py docstring).  Returns
@@ -736,19 +754,7 @@ class TpuEngine:
 
     # ------------------------------------------------------------------
     def _expand(self, asgn_fin, meta, res, K):
-        """Per-interval assignments -> class strings (one flat repeat)."""
-        rows, ns, cat, row_flat, col_flat = meta[:5]
-        stoc_lut = np.frombuffer(b"ERHD", dtype=np.uint8)
-        lens_flat = (cat["e"] - cat["b"]).astype(np.int64)
-        asgn_flat = np.clip(asgn_fin[row_flat, col_flat], 0, 3).astype(np.int64)
-        body_all = stoc_lut[np.repeat(asgn_flat, lens_flat)].tobytes()
-        read_off = np.zeros(len(rows) + 1, np.int64)
-        np.cumsum(np.add.reduceat(lens_flat, np.cumsum([0] + ns[:-1])),
-                  out=read_off[1:])
-        prefix = "N" * (K - 1)
-        for r, i in enumerate(rows):
-            res[i] = prefix + body_all[
-                read_off[r]: read_off[r + 1]].decode("ascii")
+        expand_asgn(asgn_fin, meta, res, K)
 
 
 def classify_file_tpu(fastx_path: str, fastk_root: str, coverage: int = 0,

@@ -65,33 +65,48 @@ def test_psum_estimation_matches_hist_model():
     assert gm.dr_ratio == gm_ref.dr_ratio
 
 
-def test_real_two_process_jax_distributed(tmp_path):
-    """SURVEY §4's prescription, for real: two OS processes initialize
-    jax.distributed against a localhost coordinator, run
-    parallel/driver.py main() end-to-end (estimation, shard classify,
-    psum barrier, pid-0 merge), and the merged file equals a
-    single-process run.  Exercises driver.py's
-    jax.distributed.initialize path and psum_histogram's
-    addressable-shards-only construction under real multi-process."""
+def _stage_tiny(tmp_path):
     import gzip
-    import os
-    import socket
-    import subprocess
-    import sys
 
     fix = FIX / "tiny"
     src = tmp_path / "reads.fasta"
     src.write_bytes(gzip.decompress((fix / "reads.fasta.gz").read_bytes()))
     for fn in ("reads.prof", ".reads.pidx.1", ".reads.prof.1", "reads.hist"):
         (tmp_path / fn).write_bytes((fix / fn).read_bytes())
+    return src
+
+
+def _driver_env():
+    import os
 
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
     env["JAX_ENABLE_X64"] = "1"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    import os as _os
     repo = str(pathlib.Path(__file__).resolve().parent.parent)
-    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = repo + _os.pathsep + env.get("PYTHONPATH", "")
+    return env
+
+
+@pytest.mark.parametrize("nproc", [2, 4])
+def test_real_multi_process_jax_distributed(tmp_path, nproc):
+    """SURVEY §4's prescription, for real: nproc OS processes initialize
+    jax.distributed against a localhost coordinator, run
+    parallel/driver.py main() end-to-end (estimation, shard classify,
+    psum barrier, pid-0 merge with completeness validation), and the
+    merged file equals a single-process run.  Exercises driver.py's
+    jax.distributed.initialize path and psum_histogram's
+    addressable-shards-only construction under real multi-process;
+    nproc=4 backs the driver's claimed N-host generality beyond the
+    historical 2-process ceiling."""
+    import socket
+    import subprocess
+    import sys
+
+    src = _stage_tiny(tmp_path)
+    env = _driver_env()
 
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
@@ -108,12 +123,56 @@ def test_real_two_process_jax_distributed(tmp_path):
         subprocess.Popen(
             [sys.executable, "-m", "classpro_tpu.parallel.driver", str(src),
              "-N", str(tmp_path / "reads"), "-o", str(multi),
-             "--nproc", "2", "--pid", str(pid),
+             "--nproc", str(nproc), "--pid", str(pid),
              "--coord", f"127.0.0.1:{port}"],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
-        for pid in range(2)
+        for pid in range(nproc)
     ]
     outs = [p.communicate(timeout=600) for p in procs]
     for p, (so, se) in zip(procs, outs):
         assert p.returncode == 0, se.decode()[-2000:]
     assert multi.read_bytes() == single.read_bytes()
+
+
+def test_shard_resume_kill_and_rerun(tmp_path):
+    """Shard resume (SURVEY §5 checkpoint granularity): after a 'crash'
+    that leaves shard 0 complete and shard 1 truncated mid-record, a
+    --resume rerun skips shard 0 (file untouched), recomputes shard 1,
+    and the validated merge equals a clean single run."""
+    import os
+
+    from classpro_tpu.parallel.driver import (merge_shards, run_process,
+                                              shard_range, shard_records)
+    from classpro_tpu.io.fastk import open_profiles
+
+    src = str(_stage_tiny(tmp_path))
+    fk = str(tmp_path / "reads")
+    single = str(tmp_path / "single.class")
+    run_process(src, fk, single, nproc=1, pid=0)
+
+    multi = str(tmp_path / "multi.class")
+    # the "first run": shard 0 completes, shard 1 dies mid-write
+    run_process(src, fk, multi, nproc=2, pid=0, _skip_init=True)
+    run_process(src, fk, multi, nproc=2, pid=1, _skip_init=True)
+    with open(multi + ".1", "r+b") as f:
+        f.truncate(os.path.getsize(multi + ".1") - 37)
+
+    nreads = open_profiles(fk).nreads
+    expected = [e - b for b, e in (shard_range(nreads, 2, p)
+                                   for p in range(2))]
+    assert shard_records(multi + ".0") == expected[0]
+    assert shard_records(multi + ".1") != expected[1]
+    # merge of the incomplete state must refuse
+    with pytest.raises(RuntimeError, match="incomplete"):
+        merge_shards(multi, 2, expected)
+
+    stat0 = os.stat(multi + ".0")
+    for pid in range(2):
+        run_process(src, fk, multi, nproc=2, pid=pid, resume=True,
+                    _skip_init=True)
+    # shard 0 was skipped (not rewritten), shard 1 recomputed
+    s0 = os.stat(multi + ".0")
+    assert (s0.st_mtime_ns, s0.st_ino) == (stat0.st_mtime_ns, stat0.st_ino)
+    assert shard_records(multi + ".1") == expected[1]
+    merge_shards(multi, 2, expected)
+    assert open(multi).read() == open(single).read()
