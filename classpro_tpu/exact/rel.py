@@ -363,8 +363,22 @@ class RelClassifier:
         i = M - 1 if fwd else 0
         max_s = self._find_max_dp(i)
         if max_s == N_STATE:
-            raise RuntimeError("all DP states impossible at final interval")
-        path = self.bt[i, max_s]
+            # All four states dead at the final interval (reachable: the
+            # psum==0 "No possible state" fallback, class_rel.c:326-331,
+            # propagates -inf to every later cell — see the crafted
+            # fixture tests/fixtures/branch/psum0).  The C traceback then
+            # reads bt[REL_IDX(i, N_STATE)] (class_rel.c:610-613) — one
+            # row PAST the last state row, i.e. the never-written row of
+            # interval i+1/state ERROR, which is all zero bytes on a
+            # fresh workspace (calloc-equivalent first-touch pages; the
+            # reference's own -T1 behavior, measured deterministic).
+            # Mirror that: an all-ERROR path.  NOTE this is a reference
+            # soundness edge: a workspace dirtied by an earlier read
+            # with more intervals would make the C's output here depend
+            # on read order; ours is always the fresh-state answer.
+            path = np.zeros(M, dtype=np.int8)
+        else:
+            path = self.bt[i, max_s]
         for j in range(M):
             if self.rpos[j]:
                 path[j] = REPEAT

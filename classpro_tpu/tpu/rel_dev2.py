@@ -728,9 +728,18 @@ def rel_dp_pass2(bpos, bcnt, epos, ecnt, max_cc, lf_bcnt, logpE_all,
         bps, rposs = outs[s]
         dp_f = carry_f[s][0]
         dps.append(dp_f)
-        # row margin = min(step margins, final state argmax margin)
-        mms.append(jnp.minimum(carry_f[s][5],
-                               _top2_margin(dp_f, axis=1)))
+        # row margin = min(step margins, final state argmax margin).
+        # An ALL-DEAD final cell (every dp -inf — reachable via the
+        # psum==0 fallback, class_rel.c:326-331, fixture branch/psum0)
+        # is force-flagged: _top2_margin's isneginf clause returns +inf
+        # there, but the C traceback reads an uninitialized bt row for
+        # such reads, so they must always go to the host exact oracle
+        # (which pins the fresh-workspace all-ERROR semantics).
+        fin_m = _top2_margin(dp_f, axis=1)
+        if not _NO_GUARD:
+            all_dead = _eall4(dp_f == NEG_INF, 1)
+            fin_m = jnp.where(all_dead, 1e-30, fin_m)
+        mms.append(jnp.minimum(carry_f[s][5], fin_m))
         bps = jnp.moveaxis(bps, 0, 1)       # (Lb, max_m-1, 4)
         rpos = jnp.concatenate(
             [jnp.zeros((Lb, 1), bool), jnp.moveaxis(rposs, 0, 1)], axis=1)

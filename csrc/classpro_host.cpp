@@ -2784,8 +2784,21 @@ struct Cls {
     int maxs = XN;
     for (int s = 0; s < 4; s++)
       if (maxl < DP(i, s)) { maxl = DP(i, s); maxs = s; }
-    if (maxs == XN) return -1;  // "all DP states impossible"
     if (num_err) return -2;     // oracle would have raised (log(0)/int(inf))
+    if (maxs == XN) {
+      // All four states dead at the final cell — reachable via the
+      // psum==0 "No possible state" fallback (class_rel.c:326-331; see
+      // tests/fixtures/branch/psum0).  The reference traceback then
+      // reads bt[REL_IDX(i, N_STATE)], the never-written next row,
+      // which is all zero bytes on a fresh workspace -> an all-ERROR
+      // path (+ rpos overrides).  Mirror that (exact/rel.py does the
+      // same; the reference's output here would depend on read order
+      // on a dirtied workspace — ours is always the fresh-state form).
+      memset(path_out, 0, (size_t)M);
+      for (int j = 0; j < M; j++)
+        if (rpos[j]) path_out[j] = XR;
+      return 0;
+    }
     memcpy(path_out, BT(i, maxs), (size_t)M);
     for (int j = 0; j < M; j++)
       if (rpos[j]) path_out[j] = XR;

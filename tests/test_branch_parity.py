@@ -21,13 +21,18 @@ NAMES = sorted(p.name for p in FIX.iterdir() if p.is_dir())
 
 
 def _stage(tmp_path, name):
+    import json
+
     src = FIX / name
     for fn in ("reads.prof", ".reads.pidx.1", ".reads.prof.1", "reads.hist"):
         (tmp_path / fn).write_bytes((src / fn).read_bytes())
     fa = tmp_path / "reads.fasta"
     fa.write_bytes(gzip.decompress((src / "reads.fasta.gz").read_bytes()))
     golden = gzip.decompress((src / "golden.class.gz").read_bytes()).decode()
-    return fa, golden
+    args = {}
+    if (src / "args.json").exists():
+        args = json.loads((src / "args.json").read_text())
+    return fa, golden, args
 
 
 @pytest.mark.parametrize("name", NAMES)
@@ -35,10 +40,48 @@ def test_branch_fixture_byte_identity(tmp_path, name):
     from classpro_tpu.io.classfile import write_class
     from classpro_tpu.tpu.engine import classify_file_tpu
 
-    fa, golden = _stage(tmp_path, name)
+    fa, golden, args = _stage(tmp_path, name)
     out = tmp_path / "ours.class"
-    write_class(str(out), classify_file_tpu(str(fa), str(tmp_path / "reads")))
+    write_class(str(out), classify_file_tpu(str(fa), str(tmp_path / "reads"),
+                                            **args))
     assert out.read_text() == golden, name
+
+
+def test_psum0_fires_in_oracle(tmp_path):
+    """The psum0 fixture must actually reach the all-16-underflow
+    fallback (class_rel.c:326-331 / exact/rel.py _update) in the
+    ORACLE too — guarding the fixture against silently regressing into
+    an ordinary dataset (the reference-side evidence is gcov: 327-331
+    executed, COVERAGE.md)."""
+    from classpro_tpu.estimation import build_global_model
+    from classpro_tpu.exact import rel as rel_mod
+    from classpro_tpu.exact.pipeline import ReadClassifier
+    from classpro_tpu.io.fastk import load_histogram, open_profiles
+
+    fa, golden, args = _stage(tmp_path, "psum0")
+    gm = build_global_model(load_histogram(str(tmp_path / "reads")), **args)
+    P = open_profiles(str(tmp_path / "reads"))
+    clf = ReadClassifier(gm)
+    fired = 0
+    orig = rel_mod.RelClassifier._update
+
+    def spy(self, i, M):
+        nonlocal fired
+        dp = self.dp
+        if all(dp[self._pred(i), s] == rel_mod.NEG_INF for s in range(4)):
+            fired += 1
+        return orig(self, i, M)
+
+    rel_mod.RelClassifier._update = spy
+    try:
+        seq = gzip.decompress(
+            (FIX / "psum0" / "reads.fasta.gz").read_bytes()
+        ).decode().splitlines()[1]
+        classes = clf.classify(seq, P.fetch(0))
+    finally:
+        rel_mod.RelClassifier._update = orig
+    assert fired > 0, "psum==0 fallback no longer reached"
+    assert golden.splitlines()[3] == classes
 
 
 def test_zero_count_reads(tmp_path):

@@ -51,8 +51,8 @@ REFCOV = "/tmp/refcov"
 K = 40
 
 TARGETS = {
-    "class_rel.c": [656, 665, 666, 679, 686, 687, 706, 769, 778, 779,
-                    799, 817, 873],
+    "class_rel.c": [327, 330, 331, 656, 665, 666, 679, 686, 687, 706,
+                    769, 778, 779, 799, 817, 873],
     "class_unrel.c": [45, 50, 79],
     "wall.c": [366, 457, 551, 565, 569, 1044],
     "hist.c": [99, 100],
@@ -324,6 +324,36 @@ def _extreme_batch(seed: int):
     return _hist_counts(rng, h, 2 * h), reads
 
 
+def sc_psum0(rng):
+    """The all-16-underflow 'No possible state' fallback
+    (class_rel.c:326-331), hit for real (gcov: 327-331 executed).
+
+    Requires -c186 -r4500 (ARGS below).  Geometry (COV = E1/H93/D186/
+    R254): interval A = [60 x100 | +2-ramp | 161 ...] (45 kbp) kills
+    E (logfact) and R (binom(60,254,.99) = -758 < exp-underflow) at
+    the init cell, leaving {H, D}.  Interval X = [80 x100 | +2-ramp |
+    161 ...] (14.5 kbp): its E emission underflows; its H argmax comes
+    from the D-init predecessor (st_H=80 @ offset pos) and its D
+    argmax from the H-init predecessor (st_H=161 @ adjacent pos), so
+    BOTH hit the H<D<R gate at equality (curr=161 vs st=161,
+    class_rel.c:496-498) and die; R's best predecessor is H-init whose
+    st_D = 161+93 = 254 >= st_R -> gate-killed too.  All four dp at X
+    are then -inf, so interval B's _update (flat 60 x300) computes
+    psum == 0 -> the fallback fires.  The -2-slope ramps stay under
+    MIN_CNT_CHANGE so A/X/B are single clean intervals; the A|X and
+    X|B steps are OTHERS walls; all three intervals are reliable.
+    Deterministic reference output verified (3 runs byte-equal): the
+    C's all-dead traceback reads a never-written bt row = fresh zero
+    pages -> all-ERROR + rpos (see exact/rel.py traceback note)."""
+    A = np.concatenate([np.full(100, 60), 60 + 2 * np.arange(1, 51),
+                        np.full(45000 - 150, 161)])
+    X = np.concatenate([np.full(100, 80), 80 + 2 * np.arange(1, 41),
+                        np.full(14500 - 140, 161)])
+    B = np.full(300, 60)
+    reads = [(np.concatenate([A, X, B]), None)]
+    return _hist_counts(rng, 93, 186), reads
+
+
 def make_search_scenario(seed: int):
     return lambda rng: _random_batch(seed)
 
@@ -348,7 +378,23 @@ SCENARIOS = {
     "dips": sc_dips,
     "smallk": sc_smallk,
     "stepdip": sc_stepdip,
+    "psum0": sc_psum0,
 }
+
+# extra ClassPro/classify arguments a scenario needs (also
+# written to the fixture as args.json for test_branch_parity)
+SCENARIO_ARGS = {
+    "psum0": {"coverage": 186, "read_len": 4500},
+}
+
+def _ref_args(name):
+    a = SCENARIO_ARGS.get(name, {})
+    out = []
+    if a.get("coverage"):
+        out.append(f"-c{a['coverage']}")
+    if a.get("read_len"):
+        out.append(f"-r{a['read_len']}")
+    return out
 for _s in PROMOTED_SEEDS:
     SCENARIOS[f"search{_s}"] = make_search_scenario(_s)
 
@@ -403,8 +449,8 @@ def probe() -> None:
         shutil.rmtree(d, ignore_errors=True)
         build_dataset(d, name)
         r = subprocess.run([os.path.join(REFCOV, "ClassPro"), "-T1",
-                            f"-P{d}", "reads.fasta"], cwd=d,
-                           capture_output=True, text=True)
+                            *_ref_args(name), f"-P{d}", "reads.fasta"],
+                           cwd=d, capture_output=True, text=True)
         if r.returncode != 0:
             print(f"{name}: ClassPro FAILED: {r.stderr[-400:]}")
             continue
@@ -420,9 +466,9 @@ def emit() -> None:
         d = f"/tmp/branch_{name}"
         shutil.rmtree(d, ignore_errors=True)
         build_dataset(d, name)
-        r = subprocess.run(["/tmp/refbuild/ClassPro", "-T1", f"-P{d}",
-                            "reads.fasta"], cwd=d, capture_output=True,
-                           text=True)
+        r = subprocess.run(["/tmp/refbuild/ClassPro", "-T1",
+                            *_ref_args(name), f"-P{d}", "reads.fasta"],
+                           cwd=d, capture_output=True, text=True)
         if r.returncode != 0:
             print(f"{name}: reference FAILED: {r.stderr[-400:]}")
             continue
@@ -431,6 +477,10 @@ def emit() -> None:
         for fn in ("reads.prof", ".reads.pidx.1", ".reads.prof.1",
                    "reads.hist"):
             shutil.copy(os.path.join(d, fn), dest)
+        if name in SCENARIO_ARGS:
+            import json
+            with open(os.path.join(dest, "args.json"), "w") as f:
+                json.dump(SCENARIO_ARGS[name], f)
         for src, dst in (("reads.fasta", "reads.fasta.gz"),
                          ("reads.class", "golden.class.gz")):
             with open(os.path.join(d, src), "rb") as fi, \
