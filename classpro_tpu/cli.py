@@ -247,6 +247,15 @@ def cmd_classify(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_debug_read(args: argparse.Namespace) -> int:
+    from classpro_tpu.tools.debug_read import debug_read
+
+    same = debug_read(args.source, args.read_id,
+                      fastk_root=args.fastk_root, coverage=args.coverage,
+                      read_len=args.read_len, model_path=args.model)
+    return 0 if same else 2
+
+
 def cmd_classgs(args: argparse.Namespace) -> int:
     from classpro_tpu.io.classfile import write_class
     from classpro_tpu.tools.classgs import classify_gs_file
@@ -438,6 +447,19 @@ def build_parser() -> argparse.ArgumentParser:
     rda.add_argument("fastk_root")
     rda.add_argument("db")
     rda.set_defaults(fn=cmd_repdepanno)
+
+    dr = sub.add_parser(
+        "debug-read",
+        help="single-read triage dump: oracle vs production internals "
+             "(the reference's compile-time DEBUG_SINGLE, ClassPro.h:11-13, "
+             "as a runtime command)")
+    dr.add_argument("source", help="reads (.fasta/.fastq[.gz])")
+    dr.add_argument("read_id", type=int)
+    dr.add_argument("-N", "--fastk-root")
+    dr.add_argument("-c", "--coverage", type=int, default=0)
+    dr.add_argument("-r", "--read-len", type=int, default=20000)
+    dr.add_argument("-M", "--model")
+    dr.set_defaults(fn=cmd_debug_read)
 
     s = sub.add_parser("simulate", help="generate synthetic dataset")
     s.add_argument("outdir")

@@ -84,6 +84,36 @@ def test_psum0_fires_in_oracle(tmp_path):
     assert golden.splitlines()[3] == classes
 
 
+def test_debug_read_triage_tool(tmp_path, capsys):
+    """`cli debug-read` (the runtime DEBUG_SINGLE analog,
+    ClassPro.h:11-13): on the psum0 fixture's read it must dump every
+    stage (walls, fw/bw DP, device margins), report oracle==production,
+    and exit 0; its divergence detector must locate a mismatching
+    record."""
+    from classpro_tpu.cli import main as cli_main
+    from classpro_tpu.tools.debug_read import first_divergent_read
+
+    fa, golden, args = _stage(tmp_path, "psum0")
+    rc = cli_main(["debug-read", str(fa), "0",
+                   "-c", str(args["coverage"]), "-r", str(args["read_len"])])
+    out = capsys.readouterr().out
+    assert rc == 0
+    for section in ("oracle wall stage", "oracle rel DP", "device DP",
+                    "production final", "RESULT: oracle == production"):
+        assert section in out, section
+    # the psum0 read's all-dead cells must be visible in the dump
+    assert "dp[  1] E:        -inf  R:        -inf  H:        -inf" in out
+
+    a = tmp_path / "a.class"
+    b = tmp_path / "b.class"
+    a.write_text(golden)
+    lines = golden.splitlines()
+    lines[3] = "X" + lines[3][1:]
+    b.write_text("\n".join(lines) + "\n")
+    assert first_divergent_read(str(a), str(a)) == -1
+    assert first_divergent_read(str(a), str(b)) == 0
+
+
 def test_zero_count_reads(tmp_path):
     """Profiles with zero-count stretches (what FastK emits for k-mers
     containing N) must classify without crashing, with production ==

@@ -208,6 +208,29 @@ def run_dam_seed(seed: int, env: dict) -> str:
     return f"seed {seed} (K={K}): *** DIFFERS *** {diffs}"
 
 
+def _triage(seed: int, d: str, fname: str, env: dict) -> None:
+    """Auto-triage a divergent seed: find the first read whose .class
+    record differs and run `cli debug-read` on it (oracle + production
+    internals side by side).  Both historical escapes (8339, 21517)
+    needed exactly this dump, hand-written at the time."""
+    from classpro_tpu.tools.debug_read import first_divergent_read
+
+    rid = first_divergent_read(f"{d}/reads.class", f"{d}/ours.class")
+    print(f"seed {seed}: first divergent read = {rid}; triage dump:",
+          flush=True)
+    if rid < 0:
+        return
+    r = subprocess.run(
+        [sys.executable, "-m", "classpro_tpu.cli", "debug-read",
+         f"{d}/{fname}", str(rid)],
+        env=env, capture_output=True, text=True, timeout=600)
+    print(r.stdout[-8000:], flush=True)
+    if r.returncode not in (0, 2):
+        print(f"(debug-read failed: {r.stderr[-500:]})", flush=True)
+    print(f"(dataset kept at {d}; re-run: python3 -m classpro_tpu.cli "
+          f"debug-read {d}/{fname} {rid})", flush=True)
+
+
 def main() -> int:
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     dam = "--dam" in sys.argv[1:]
@@ -261,6 +284,7 @@ def main() -> int:
             shutil.rmtree(d, ignore_errors=True)
         else:
             bad += 1
+            _triage(seed, d, fname, env)
     print(f"{bad} divergent/crashed of {n}")
     return 1 if bad else 0
 
