@@ -354,6 +354,52 @@ def sc_psum0(rng):
     return _hist_counts(rng, 93, 186), reads
 
 
+def _cap_batch(seed: int):
+    """Boundary-cap batch: GLOBAL_COV[REPEAT] pushed against the 255
+    hard cap (calc_init_thres exits above it, wall.c:174-178) and
+    counts pinned at/near MAX_KMER_CNT=32767 (the logfact clamp,
+    prob.c:22-31, and the over-correction exclusion, wall.c:1044).
+    Drawn covD in [168, 186] puts CMAX=covR in [232, 254]; count
+    levels cluster at {covR-2..covR+2, 32760..32767} so the wall scan's
+    both->=covR skip, the cthres table's cout<CMAX edge, and the DP's
+    max_cc>=COV[REPEAT] absolute-R clause all sit one count from
+    flipping."""
+    rng = np.random.default_rng(np.uint64(seed) ^ np.uint64(0xCAB0CAB0))
+    import math as _math
+
+    covd = int(rng.integers(168, 187))
+    covr = covd + int(5 * _math.sqrt(covd))
+
+    def lvl():
+        r = rng.random()
+        if r < 0.35:
+            return int(covr + rng.integers(-3, 4))
+        if r < 0.55:
+            return int(rng.integers(32760, 32768))
+        if r < 0.75:
+            return int(rng.integers(covd - 10, covd + 11))
+        return int(np.exp(rng.uniform(np.log(6), np.log(32767))))
+
+    reads = []
+    for _ in range(120):
+        nseg = int(rng.integers(1, 8))
+        segs = rng.integers(40, 220, nseg)
+        c = np.concatenate([np.full(s, lvl()) for s in segs])
+        if rng.random() < 0.4:   # deep dips at the cap boundary too
+            c = c.copy()
+            for _ in range(int(rng.integers(1, 4))):
+                if len(c) <= 2 * K:
+                    break
+                p = int(rng.integers(K, len(c) - K))
+                c[p: p + int(rng.integers(1, K))] = rng.integers(1, 5)
+        reads.append((np.clip(c, 1, 32767), None))
+    h = covd // 2
+    hist = np.concatenate([
+        rng.poisson(h, 30000), rng.poisson(covd, 60000),
+        rng.integers(1, 4, 30000)]).clip(1, 32767)
+    return hist, reads
+
+
 def make_search_scenario(seed: int):
     return lambda rng: _random_batch(seed)
 

@@ -235,9 +235,11 @@ def main() -> int:
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     dam = "--dam" in sys.argv[1:]
     model = "--model" in sys.argv[1:]
+    global _GEN
     if "--extreme" in sys.argv[1:]:
-        global _GEN
         _GEN = bp._extreme_batch
+    if "--cap" in sys.argv[1:]:
+        _GEN = bp._cap_batch
     n = int(argv[0]) if len(argv) > 0 else 20
     seed0 = int(argv[1]) if len(argv) > 1 else 1000
     env = dict(os.environ)

@@ -1,0 +1,269 @@
+#!/usr/bin/env python3
+"""Gbp-scale end-to-end soak of `cli classify` (VERDICT r3 #4).
+
+Generates a ~0.5-1 Gbp synthetic HiFi dataset (same genome/read model
+as classpro_tpu.tools.simulate, but with a VECTORIZED k-mer counter:
+2-bit uint64 codes + np.unique, so K <= 32; the pure-Python counter in
+simulate.py is ~1000x too slow at this scale), then:
+
+1. runs `python -m classpro_tpu.cli classify` end-to-end as a child
+   process, sampling VmRSS + output-file growth once a second
+   (sustained-throughput curve, not just the final average);
+2. spot-checks parity: N randomly sampled reads re-classified by the
+   exact oracle and compared to the produced .class records;
+3. exercises the scatter-gather path at scale: a 2-shard
+   parallel/driver run (serial processes) + validated merge, byte-
+   compared to the single run;
+4. writes artifacts/SOAK_r04.json.
+
+Usage:
+    python3 tools/soak.py [--gbp 0.5] [--platform cpu|tpu] [--out artifacts/SOAK_r04.json]
+
+Run on an idle machine (the CLAUDE.md measurement-hygiene rule).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from classpro_tpu.io.fastk import histogram_from_counts, write_histogram, write_profiles
+from classpro_tpu.io.fastx import write_fasta
+from classpro_tpu.tools.simulate import SimConfig, make_diploid, simulate_reads
+
+K = 28  # <= 32 so a canonical k-mer packs into one uint64
+
+_CODE = np.full(256, 255, np.uint8)
+for i, b in enumerate(b"ACGT"):
+    _CODE[b] = i
+_COMP = np.array([3, 2, 1, 0], np.uint8)
+
+
+def _kmer_codes(seq_u8: np.ndarray) -> np.ndarray:
+    """Canonical 2-bit k-mer codes (uint64) for one read."""
+    c = _CODE[seq_u8]
+    n = len(c) - K + 1
+    if n <= 0:
+        return np.zeros(0, np.uint64)
+    # forward rolling pack via cumulative shifts: windows of K 2-bit
+    # symbols.  Build with a strided window over the code array.
+    w = np.lib.stride_tricks.sliding_window_view(c, K).astype(np.uint64)
+    shifts = (2 * (K - 1 - np.arange(K))).astype(np.uint64)
+    fwd = (w << shifts).sum(axis=1, dtype=np.uint64)
+    rc = _COMP[c][::-1]
+    wr = np.lib.stride_tricks.sliding_window_view(rc, K).astype(np.uint64)
+    rev_all = (wr << shifts).sum(axis=1, dtype=np.uint64)[::-1]
+    return np.minimum(fwd, rev_all)
+
+
+def generate(outdir: str, gbp: float, seed: int = 11,
+             nparts: int = 2) -> dict:
+    os.makedirs(outdir, exist_ok=True)
+    # keep coverage >= ~40x so estimation sees real peaks; cap the
+    # genome at 6 Mbp so the 0.5-1 Gbp soak runs ~80-170x (HiFi-like)
+    genome_len = min(6_000_000, int(gbp * 1e9 / 40))
+    coverage = gbp * 1e9 / genome_len
+    cfg = SimConfig(seed=seed, genome_len=genome_len, coverage=coverage,
+                    read_len_mean=12_000, read_len_sd=2_500,
+                    read_len_min=4_000, kmer=K)
+    rng = np.random.default_rng(seed)
+    t0 = time.time()
+    haps = make_diploid(cfg, rng)
+    reads = simulate_reads(cfg, rng, haps)
+    n_bases = sum(len(r[2]) for r in reads)
+    print(f"[gen] {len(reads)} reads, {n_bases/1e9:.3f} Gbp "
+          f"({time.time()-t0:.0f}s)", flush=True)
+
+    codes = [None] * len(reads)
+    for i, (_, _, s) in enumerate(reads):
+        codes[i] = _kmer_codes(np.frombuffer(s.encode(), np.uint8))
+        if i % 20000 == 0:
+            print(f"[gen] kmer codes {i}/{len(reads)}", flush=True)
+    allc = np.concatenate(codes)
+    print(f"[gen] {len(allc)/1e6:.0f}M kmer instances, sorting...",
+          flush=True)
+    uniq, counts = np.unique(allc, return_counts=True)
+    counts16 = np.minimum(counts, 32767).astype(np.uint16)
+    del allc
+    print(f"[gen] {len(uniq)/1e6:.1f}M distinct ({time.time()-t0:.0f}s)",
+          flush=True)
+
+    profiles = [counts16[np.searchsorted(uniq, c)] for c in codes]
+    del codes
+    root = os.path.join(outdir, "reads")
+    write_fasta(root + ".fasta", reads)
+    write_profiles(root, profiles, K, nparts=nparts)
+    write_histogram(root, histogram_from_counts(K, counts))
+    meta = {"n_reads": len(reads), "n_bases": n_bases,
+            "n_kmers": int(sum(len(p) for p in profiles)),
+            "n_distinct": int(len(uniq)), "kmer": K, "nparts": nparts,
+            "gen_seconds": round(time.time() - t0, 1)}
+    with open(os.path.join(outdir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    print(f"[gen] done {meta}", flush=True)
+    return meta
+
+
+def _rss_kb(pid: int) -> int:
+    try:
+        with open(f"/proc/{pid}/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1])
+    except OSError:
+        pass
+    return -1
+
+
+def run_classify(d: str, platform: str) -> dict:
+    env = dict(os.environ)
+    if platform == "cpu":
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["CLASSPRO_NO_PREFLIGHT"] = "1"
+    out = os.path.join(d, "soak.class")
+    cmd = [sys.executable, "-m", "classpro_tpu.cli"]
+    if platform == "cpu":
+        cmd += ["--platform", "cpu"]
+    cmd += ["classify", "-v", os.path.join(d, "reads.fasta"), "-o", out]
+    t0 = time.time()
+    p = subprocess.Popen(cmd, env=env, stdout=subprocess.DEVNULL,
+                         stderr=subprocess.PIPE, text=True)
+    samples = []
+    while p.poll() is None:
+        time.sleep(1.0)
+        sz = os.path.getsize(out) if os.path.exists(out) else 0
+        samples.append({"t": round(time.time() - t0, 1),
+                        "rss_mb": round(_rss_kb(p.pid) / 1024, 1),
+                        "out_mb": round(sz / 1e6, 1)})
+        if len(samples) % 30 == 0:
+            print(f"[classify] t={samples[-1]['t']}s "
+                  f"rss={samples[-1]['rss_mb']}MB "
+                  f"out={samples[-1]['out_mb']}MB", flush=True)
+    err = p.communicate()[1]
+    wall = time.time() - t0
+    assert p.returncode == 0, err[-2000:]
+    # sustained throughput from output growth between 25% and 100%
+    sus = None
+    if len(samples) >= 4:
+        q = samples[len(samples) // 4]
+        sus = (samples[-1]["out_mb"] - q["out_mb"]) / max(
+            samples[-1]["t"] - q["t"], 1e-9)
+    return {"wall_s": round(wall, 1),
+            "rss_peak_mb": max((s["rss_mb"] for s in samples), default=-1),
+            "sustained_out_mb_s": round(sus, 2) if sus else None,
+            "samples": samples[:: max(1, len(samples) // 60)],
+            "stderr_tail": err.strip().splitlines()[-3:]}
+
+
+def spot_parity(d: str, n: int, meta: dict, seed: int = 5) -> dict:
+    from classpro_tpu.estimation import build_global_model
+    from classpro_tpu.exact.pipeline import ReadClassifier
+    from classpro_tpu.io.fastk import load_histogram, open_profiles
+
+    root = os.path.join(d, "reads")
+    gm = build_global_model(load_histogram(root))
+    P = open_profiles(root)
+    rng = np.random.default_rng(seed)
+    picks = sorted(rng.choice(meta["n_reads"], size=n, replace=False))
+    clf = ReadClassifier(gm)
+    # stream the .class file once, grabbing the sampled records
+    want = {}
+    with open(os.path.join(d, "soak.class")) as f:
+        rid = 0
+        pi = 0
+        while pi < len(picks):
+            rec = [f.readline() for _ in range(4)]
+            if not rec[0]:
+                break
+            if rid == picks[pi]:
+                want[rid] = (rec[1].rstrip("\n"), rec[3].rstrip("\n"))
+                pi += 1
+            rid += 1
+    mism = 0
+    for rid in picks:
+        seq, got = want[rid]
+        exp = clf.classify(seq, P.fetch(int(rid)))
+        if exp != got:
+            mism += 1
+            print(f"[parity] read {rid} MISMATCH", flush=True)
+    return {"sampled": len(picks), "mismatches": mism}
+
+
+def shard_merge(d: str, platform: str) -> dict:
+    """2-shard driver run (serial in-process passes; the backend is
+    whatever this soak process runs under) + validated merge."""
+    from classpro_tpu.io.fastk import open_profiles
+    from classpro_tpu.parallel.driver import (merge_shards, run_process,
+                                              shard_range)
+
+    root = os.path.join(d, "reads")
+    out = os.path.join(d, "sharded.class")
+    t0 = time.time()
+    for pid in range(2):
+        run_process(root + ".fasta", root, out, nproc=2, pid=pid,
+                    _skip_init=True)
+    nreads = open_profiles(root).nreads
+    expected = [e - b for b, e in (shard_range(nreads, 2, p)
+                                   for p in range(2))]
+    merge_shards(out, 2, expected)
+    same = _files_equal(out, os.path.join(d, "soak.class"))
+    return {"wall_s": round(time.time() - t0, 1), "merge_equal": same}
+
+
+def _files_equal(a: str, b: str) -> bool:
+    import filecmp
+
+    return filecmp.cmp(a, b, shallow=False)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gbp", type=float, default=0.5)
+    ap.add_argument("--dir", default="/tmp/soak")
+    ap.add_argument("--platform", choices=["cpu", "tpu"], default="tpu")
+    ap.add_argument("--out", default="artifacts/SOAK_r04.json")
+    ap.add_argument("--spot", type=int, default=40)
+    ap.add_argument("--skip-gen", action="store_true")
+    ap.add_argument("--skip-shard", action="store_true")
+    a = ap.parse_args()
+
+    d = a.dir
+    if a.skip_gen and os.path.exists(os.path.join(d, "meta.json")):
+        meta = json.load(open(os.path.join(d, "meta.json")))
+    else:
+        meta = generate(d, a.gbp)
+    res = {"meta": meta, "platform": a.platform,
+           "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
+    res["classify"] = run_classify(d, a.platform)
+    kmers = meta["n_kmers"]
+    res["classify"]["mkmers_per_s_e2e"] = round(
+        kmers / res["classify"]["wall_s"] / 1e6, 2)
+    print(f"[classify] wall={res['classify']['wall_s']}s "
+          f"e2e={res['classify']['mkmers_per_s_e2e']} Mk/s "
+          f"rss_peak={res['classify']['rss_peak_mb']}MB", flush=True)
+    res["spot_parity"] = spot_parity(d, a.spot, meta)
+    print(f"[parity] {res['spot_parity']}", flush=True)
+    if not a.skip_shard:
+        res["shard_merge"] = shard_merge(d, a.platform)
+        print(f"[shard] {res['shard_merge']}", flush=True)
+    os.makedirs(os.path.dirname(a.out), exist_ok=True)
+    with open(a.out, "w") as f:
+        json.dump(res, f, indent=1)
+    print(f"wrote {a.out}", flush=True)
+    ok = (res["spot_parity"]["mismatches"] == 0
+          and (a.skip_shard or res["shard_merge"]["merge_equal"]))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
