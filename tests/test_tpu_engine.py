@@ -265,6 +265,40 @@ def test_alldev_fallback_matches_native():
     assert got == want
 
 
+def test_shape_bucket_count_stays_low():
+    """Cold-start guardrail (BASELINE_MEASURED.md compilation notes):
+    every distinct (R, max_m) shape pays a multi-minute first execution
+    on this platform, so the coarse _bucket_m ladder must keep a
+    dataset to 1-2 buckets.  Regression-pins the ladder against the
+    medium fixture's n_rel spread and the bucket invariants."""
+    from classpro_tpu.estimation import build_global_model
+    from classpro_tpu.io.fastk import load_histogram, open_profiles
+    from classpro_tpu.io.fastx import read_fastx
+    from classpro_tpu.tpu.engine import (_bucket, _bucket_m, _M_LADDER,
+                                         make_wall_stage)
+
+    assert all(a < b for a, b in zip(_M_LADDER, _M_LADDER[1:]))
+    for x in (1, 31, 32, 33, 127, 128, 129, 1024, 5000):
+        assert _bucket_m(x) >= x
+    assert _bucket(200) == 256 and _bucket(256) == 256
+
+    root = str(FIX / "medium" / "reads")
+    gm = build_global_model(load_histogram(root))
+    P = open_profiles(root)
+    reads = list(read_fastx(str(FIX / "medium" / "reads.fasta.gz")))
+    wall = make_wall_stage(gm)
+    nrels = []
+    for rid, rec in enumerate(reads):
+        _, nr = wall.wall_stage(rec.seq.encode("ascii"), P.fetch(rid))
+        nrels.append(nr)
+    shapes = set()
+    B = 200
+    for lo in range(0, len(nrels), B):
+        chunk = nrels[lo: lo + B]
+        shapes.add((_bucket(len(chunk)), _bucket_m(max(chunk))))
+    assert len(shapes) <= 2, shapes
+
+
 def test_warmup_smoke():
     """warmup pre-builds rel programs without error (tiny shapes)."""
     from classpro_tpu.estimation import build_global_model
