@@ -104,6 +104,30 @@ def test_graft_entry_single_and_multichip():
         g.dryrun_multichip(n)
 
 
+def test_dryrun_catches_injected_routing_bug():
+    """The multichip dryrun must BITE (VERDICT r3 #2): with the
+    shard->device routing deliberately mangled (shard axis rotated by
+    one), the per-device oracle comparison must fail.  Guards the
+    dryrun against regressing into a replication check."""
+    import __graft_entry__ as g
+    import classpro_tpu.parallel.mesh as mesh_mod
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices")
+    orig = mesh_mod.sharded_classify
+
+    def rotated(mesh, fblobs, iblobs, PP, dims):
+        return orig(mesh, np.roll(fblobs, 1, axis=0),
+                    np.roll(iblobs, 1, axis=0), PP, dims)
+
+    mesh_mod.sharded_classify = rotated
+    try:
+        with pytest.raises(AssertionError, match="sharded output"):
+            g.dryrun_multichip(4)
+    finally:
+        mesh_mod.sharded_classify = orig
+
+
 def test_native_context_matches_reference_recurrences():
     """The on-demand context scans must reproduce the full-table
     recurrences exactly, including the reference's capped-backfill
