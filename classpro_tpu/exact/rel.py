@@ -208,6 +208,9 @@ class RelClassifier:
             for t in range(4):
                 psum += logp_tr[s][t]
         if psum == 0.0:  # DEBUG fallback active in reference (class_rel.c:325-333)
+            import sys
+
+            print(f"No possible state @ {i}", file=sys.stderr)
             for s in range(4):
                 logp_tr[s][ERROR] = 1.0
             psum = 4.0

@@ -2620,6 +2620,7 @@ struct Cls {
     for (int s = 0; s < 4; s++)
       for (int t = 0; t < 4; t++) psum += tr[s][t];
     if (psum == 0.0) {  // DEBUG fallback active in reference
+      fprintf(stderr, "No possible state @ %d\n", i);  // class_rel.c:327
       for (int s = 0; s < 4; s++) tr[s][XE] = 1.0;
       psum = 4.0;
     }
