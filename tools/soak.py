@@ -152,16 +152,28 @@ def run_classify(d: str, platform: str) -> dict:
     err = p.communicate()[1]
     wall = time.time() - t0
     assert p.returncode == 0, err[-2000:]
-    # sustained throughput from output growth between 25% and 100%
-    sus = None
-    if len(samples) >= 4:
-        q = samples[len(samples) // 4]
-        sus = (samples[-1]["out_mb"] - q["out_mb"]) / max(
-            samples[-1]["t"] - q["t"], 1e-9)
+    # Sustained throughput = output growth during GROWTH seconds only.
+    # A fresh process pays one multi-minute first execution per device
+    # shape bucket (the documented platform cold start), which shows as
+    # long flat stretches in the curve; the honest sustained number is
+    # the slope while the stream actually flows.
+    grow_s = 0.0
+    grow_mb = 0.0
+    stall_s = 0.0
+    for a, b in zip(samples, samples[1:]):
+        d = b["out_mb"] - a["out_mb"]
+        if d > 0:
+            grow_s += b["t"] - a["t"]
+            grow_mb += d
+        else:
+            stall_s += b["t"] - a["t"]
+    sus = grow_mb / grow_s if grow_s else None
     return {"wall_s": round(wall, 1),
             "rss_peak_mb": max((s["rss_mb"] for s in samples), default=-1),
             "sustained_out_mb_s": round(sus, 2) if sus else None,
-            "samples": samples[:: max(1, len(samples) // 60)],
+            "growth_seconds": round(grow_s, 1),
+            "stall_seconds": round(stall_s, 1),
+            "samples": samples[:: max(1, len(samples) // 120)],
             "stderr_tail": err.strip().splitlines()[-3:]}
 
 
@@ -200,18 +212,26 @@ def spot_parity(d: str, n: int, meta: dict, seed: int = 5) -> dict:
 
 
 def shard_merge(d: str, platform: str) -> dict:
-    """2-shard driver run (serial in-process passes; the backend is
-    whatever this soak process runs under) + validated merge."""
+    """2-shard parallel/driver run (serial CHILD processes — each with
+    a clean jax init, as in real multi-host use) + validated merge."""
     from classpro_tpu.io.fastk import open_profiles
-    from classpro_tpu.parallel.driver import (merge_shards, run_process,
-                                              shard_range)
+    from classpro_tpu.parallel.driver import merge_shards, shard_range
 
+    env = dict(os.environ)
+    if platform == "cpu":
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
     root = os.path.join(d, "reads")
     out = os.path.join(d, "sharded.class")
     t0 = time.time()
     for pid in range(2):
-        run_process(root + ".fasta", root, out, nproc=2, pid=pid,
-                    _skip_init=True)
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "from classpro_tpu.parallel.driver import run_process; "
+             f"run_process({(root + '.fasta')!r}, {root!r}, {out!r}, "
+             f"nproc=2, pid={pid}, _skip_init=True)"],
+            env=env, capture_output=True, text=True, timeout=7200)
+        assert r.returncode == 0, r.stderr[-2000:]
     nreads = open_profiles(root).nreads
     expected = [e - b for b, e in (shard_range(nreads, 2, p)
                                    for p in range(2))]
