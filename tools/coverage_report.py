@@ -138,7 +138,16 @@ def battery() -> None:
                 continue
             bd = os.path.join(top, "branch_" + os.path.basename(d))
             stage_fixture(os.path.join("branch", os.path.basename(d)), bd)
-            classpro(["-T1", f"-P{bd}", "reads.fasta.gz"], cwd=bd)
+            extra = []
+            aj = os.path.join(d, "args.json")
+            if os.path.exists(aj):   # per-fixture ClassPro args (psum0)
+                import json as _json
+                a = _json.load(open(aj))
+                if a.get("coverage"):
+                    extra.append(f"-c{a['coverage']}")
+                if a.get("read_len"):
+                    extra.append(f"-r{a['read_len']}")
+            classpro(["-T1", *extra, f"-P{bd}", "reads.fasta.gz"], cwd=bd)
     print("battery done; .gcda accumulated in", REFCOV)
 
 
