@@ -508,7 +508,28 @@ class TpuEngine:
                                     np.int64)
             st["_R"] = _bucket(sel_n)
             st["_mm"] = _bucket_m(int(n_rel.max()))
+            self._absorb_shape(st, sel_n, int(n_rel.max()))
         return st
+
+    def _absorb_shape(self, st, sel_n: int, mm_need: int) -> None:
+        """Cold-start absorption: if this chunk's natural (R, max_m)
+        bucket has no warmed executable yet but a LARGER cached shape
+        fits, use that instead.  Every distinct shape pays a multi-
+        minute first execution on this platform (CLAUDE.md), and the
+        classic victim is the TAIL chunk of a dataset (nreads % B
+        rows -> a smaller R bucket seen exactly once).  Padding into a
+        warm shape costs only upload bytes on that one chunk (~11 ms/
+        790KB serial) vs minutes of cold build.  Warm steady state is
+        unaffected: exact-bucket hits keep their shape."""
+        if any(k[0] == st["_R"] and k[1] == st["_mm"]
+               for k in self._exec_cache):
+            return
+        cands = sorted(
+            {(k[0], k[1]) for k in self._exec_cache
+             if k[0] >= sel_n and k[1] >= mm_need},
+            key=lambda k: k[0] * k[1])
+        if cands:
+            st["_R"], st["_mm"] = cands[0]
 
     def _pack_st(self, st, R: int, max_m: int):
         """C++ rel pack for a staged chunk at the given bucket; records

@@ -323,6 +323,43 @@ def test_shape_bucket_count_stays_low():
     assert len(shapes) <= 2, shapes
 
 
+def test_cold_shape_absorption_matches_exact_buckets():
+    """A tail chunk whose natural (R, max_m) bucket is uncompiled must
+    absorb into an already-warm larger shape (engine._absorb_shape) —
+    saving a multi-minute cold build per dataset on the real platform —
+    with byte-identical output to exact-bucket classification."""
+    from classpro_tpu.estimation import build_global_model
+    from classpro_tpu.io.fastk import load_histogram, open_profiles
+    from classpro_tpu.io.fastx import read_fastx
+    from classpro_tpu.tpu.engine import TpuEngine
+
+    root = str(FIX / "medium" / "reads")
+    gm = build_global_model(load_histogram(root))
+    P = open_profiles(root)
+    reads = list(read_fastx(str(FIX / "medium" / "reads.fasta.gz")))
+    seqs = [r.seq for r in reads[:260]]
+    profs = [P.fetch(i) for i in range(260)]
+
+    # stream: one full 200-read chunk (R=256) then a 60-read tail
+    eng = TpuEngine(gm, batch_size=200)
+    chunks = [(seqs[:200], profs[:200]), (seqs[200:260], profs[200:260])]
+    got = [c for out in eng.classify_stream(iter(chunks)) for c in out]
+    # the tail's natural bucket is R=64; absorption must have reused
+    # the warm R=256 executable instead of compiling a second shape
+    shapes = {(k[0]) for k in eng._exec_cache}
+    assert shapes == {256}, eng._exec_cache.keys()
+
+    # exact-bucket engines (fresh caches, so the tail runs at its
+    # NATURAL bucket — absorption has nothing warm to absorb into)
+    eng2 = TpuEngine(gm, batch_size=200)
+    want = eng2.classify_chunk(seqs[:200], profs[:200])
+    eng3 = TpuEngine(gm, batch_size=200)
+    want += eng3.classify_chunk(seqs[200:260], profs[200:260])
+    assert any(k[0] < 256 for k in eng3._exec_cache), \
+        "tail engine should have used its natural smaller bucket"
+    assert got == want
+
+
 def test_warmup_smoke():
     """warmup pre-builds rel programs without error (tiny shapes)."""
     from classpro_tpu.estimation import build_global_model
