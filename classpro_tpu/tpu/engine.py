@@ -796,15 +796,32 @@ def classify_file_tpu(fastx_path: str, fastk_root: str, coverage: int = 0,
     eng = TpuEngine(gm, batch_size=batch_size, threads=threads,
                     verbose=verbose, devices=devs)
     if warmup:
-        # expected (R, max_m) ladder for this batch size: R = bucketed
-        # batch, max_m from the coarse ladder's low rungs (dataset-
-        # dependent higher rungs still compile on demand)
+        # Dataset-aware: sample the host wall stage (cheap, ~ms/read)
+        # over the first reads to find the max_m bucket this dataset
+        # actually needs, and warm exactly ONE shape — smaller chunks
+        # absorb into it (engine._absorb_shape), so a fresh process
+        # pays one multi-minute first execution instead of one per
+        # bucket.  Reads beyond the sample can still exceed the
+        # sampled bucket (rare; those compile on demand as before).
+        import itertools as _it
         import sys as _sys
 
-        shapes = tuple((_bucket(batch_size), mm) for mm in (128, 192))
-        print(f"warming up device programs for shapes {shapes} "
-              f"(first execution builds the TPU program; minutes on a "
-              f"cold service)...", file=_sys.stderr)
+        sample_n = max(batch_size, 200)
+        nrel_max = 1
+        for rid, rec in enumerate(
+                _it.islice(read_fastx_checked(fastx_path,
+                                              DEFAULTS.max_read_len),
+                           sample_n)):
+            prof = P.fetch(rid)
+            if len(prof) == 0:
+                continue
+            _, nr = eng.wall.wall_stage(rec.seq.encode("ascii"), prof)
+            nrel_max = max(nrel_max, nr)
+        shapes = ((_bucket(batch_size), _bucket_m(nrel_max)),)
+        print(f"warming up device program for shape {shapes[0]} "
+              f"(sampled {sample_n} reads, max n_rel {nrel_max}; first "
+              f"execution builds the TPU program — minutes on a cold "
+              f"service)...", file=_sys.stderr)
         eng.warmup(shapes)
         print("warmup done", file=_sys.stderr)
 

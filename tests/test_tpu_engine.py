@@ -372,6 +372,30 @@ def test_warmup_smoke():
     assert (8, 32) in eng._exec_cache
 
 
+def test_cli_warmup_dataset_aware(tmp_path, capsys):
+    """classify_file_tpu(warmup=True) samples the wall stage and warms
+    ONE dataset-sized shape; with absorption, the stream then runs
+    without additional buckets, byte-identical to the no-warmup path."""
+    import gzip
+
+    from classpro_tpu.io.classfile import write_class
+    from classpro_tpu.tpu.engine import classify_file_tpu
+
+    src = FIX / "tiny"
+    fa = tmp_path / "reads.fasta"
+    fa.write_bytes(gzip.decompress((src / "reads.fasta.gz").read_bytes()))
+    for fn in ("reads.prof", ".reads.pidx.1", ".reads.prof.1",
+               "reads.hist"):
+        (tmp_path / fn).write_bytes((src / fn).read_bytes())
+    out = tmp_path / "w.class"
+    write_class(str(out), classify_file_tpu(
+        str(fa), str(tmp_path / "reads"), warmup=True))
+    golden = gzip.decompress(
+        (src / "golden.class.gz").read_bytes()).decode()
+    assert out.read_text() == golden
+    assert "warming up device program for shape" in capsys.readouterr().err
+
+
 def test_multidevice_round_robin_matches_single():
     """TpuEngine(devices=[d0, d1, ...]) round-robins whole chunks over
     local chips (replicated tables, zero cross-device traffic) and must
