@@ -736,10 +736,14 @@ def rel_dp_pass2(bpos, bcnt, epos, ecnt, max_cc, lf_bcnt, logpE_all,
         # such reads, so they must always go to the host exact oracle
         # (which pins the fresh-workspace all-ERROR semantics).
         fin_m = _top2_margin(dp_f, axis=1)
+        # min FIRST, then the all-dead override: an earlier exact-tie
+        # step margin of exactly 0.0 (exempt by design) must not mask
+        # the force-flag via min(0.0, 1e-30) == 0.0 (ADVICE r4).
+        mm = jnp.minimum(carry_f[s][5], fin_m)
         if not _NO_GUARD:
             all_dead = _eall4(dp_f == NEG_INF, 1)
-            fin_m = jnp.where(all_dead, 1e-30, fin_m)
-        mms.append(jnp.minimum(carry_f[s][5], fin_m))
+            mm = jnp.where(all_dead, 1e-30, mm)
+        mms.append(mm)
         bps = jnp.moveaxis(bps, 0, 1)       # (Lb, max_m-1, 4)
         rpos = jnp.concatenate(
             [jnp.zeros((Lb, 1), bool), jnp.moveaxis(rposs, 0, 1)], axis=1)
