@@ -309,12 +309,72 @@ def pack_chunk(rows, ivs, nrels, plens):
 # this platform, and multi-dataset tools construct many engines.
 _AOT_CACHE: dict = {}
 
+# one successful bounded backend init per process (see _ensure_backend)
+_BACKEND_OK = False
+
+
+def _ensure_backend(timeout: float | None = None, _init=None) -> None:
+    """Bounded watchdog on the first jax backend init of this process.
+
+    Two observed hang classes on this platform (CLAUDE.md):
+    - a down axon tunnel blocks backend init for ~20 minutes before
+      failing;
+    - an in-process engine created AFTER a child process has used the
+      tunnel in the same session wedged axon init indefinitely
+      (round-4 gotcha — use one child process per shard instead, as
+      tools/soak.py and parallel/driver.py do).
+
+    Backend init runs on a daemon thread with a join timeout
+    (CP_INIT_TIMEOUT_S, default 180s; 0 disables) so both classes
+    surface as a clear RuntimeError naming the cause instead of a
+    silent multi-minute hang.  Normal init over the tunnel is ~5-20s;
+    nothing after a timeout can use the device in this process, so
+    callers should exit or fall back to a child process / --platform
+    cpu."""
+    global _BACKEND_OK
+    if _BACKEND_OK:
+        return
+    import os as _os
+    import threading as _threading
+
+    if timeout is None:
+        timeout = float(_os.environ.get("CP_INIT_TIMEOUT_S", "180"))
+    if timeout <= 0:
+        _BACKEND_OK = True
+        return
+    box: dict = {}
+
+    def init(fn=_init or jax.devices):
+        try:
+            box["devs"] = fn()
+        except BaseException as e:   # re-raised on the caller thread
+            box["err"] = e
+
+    th = _threading.Thread(target=init, daemon=True,
+                           name="classpro-backend-init")
+    th.start()
+    th.join(timeout)
+    if th.is_alive():
+        raise RuntimeError(
+            f"jax backend init did not complete within {timeout:.0f}s "
+            f"(CP_INIT_TIMEOUT_S). Known causes on this platform: the "
+            f"axon TPU tunnel is down (init blocks ~20 min before "
+            f"failing), or this process created an engine after a "
+            f"CHILD process used the tunnel in the same session (use "
+            f"one child process per shard, as parallel/driver.py "
+            f"does). Retry with --platform cpu for a host-only run, "
+            f"or raise CP_INIT_TIMEOUT_S if the service is just slow.")
+    if "err" in box:
+        raise box["err"]
+    _BACKEND_OK = True
+
 
 class TpuEngine:
     # batch_size default 200 = the measured-optimal production chunk
     # (bench.py sweep: 160 worse, 240 noise-equal, 512 slower)
     def __init__(self, gm: GlobalModel, batch_size: int = 200,
                  threads: int = 0, verbose: bool = False, devices=None):
+        _ensure_backend()           # bounded: a wedged tunnel raises
         self.gm = gm
         self.batch_size = batch_size
         self.threads = threads      # host-side C++ worker count (-T)

