@@ -137,8 +137,18 @@ def _check_classify_args(args) -> None:
                          f"({args.read_len})")
     if not os.path.isdir(args.tmp_dir):
         raise ValueError(f"-P option: cannot open directory {args.tmp_dir}")
-    if not any(args.source.endswith(e) for e in _EXTS) \
-            or not os.path.exists(args.source):
+    # The reference's EXT probe (ClassPro.c:413-423): for each known
+    # extension IN TABLE ORDER, Root-strip it from the argument (when
+    # present) and try opening root+ext — so a bare root like 'reads'
+    # with 'reads.fasta' on disk is accepted, exactly like the C.
+    for ext in _EXTS:
+        root = (args.source[: -len(ext)]
+                if args.source.endswith(ext) else args.source)
+        cand = root + ext
+        if os.path.exists(cand):
+            args.source = cand
+            break
+    else:
         raise ValueError(f"Cannot open {args.source} as a .db|.dam or "
                          f".f{{ast}}[aq][.gz] file")
 

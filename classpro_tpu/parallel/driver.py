@@ -108,6 +108,22 @@ def shard_records(path: str) -> int:
     return len(lines) // 4
 
 
+def _params_stamp(source: str, nproc: int, pid: int, coverage: int,
+                  read_len: int, model_path: str | None) -> str:
+    """Run-parameter fingerprint for shard resume: a stale shard
+    produced with different -c/-r/-M (or a different partition) on the
+    same dataset is structurally identical, so --resume must verify
+    WHAT produced the shard, not just its shape (ADVICE r4).  The model
+    file is hashed by content."""
+    import hashlib
+
+    key = f"{source}|{nproc}|{pid}|{coverage}|{read_len}|{model_path or ''}"
+    if model_path and os.path.exists(model_path):
+        with open(model_path, "rb") as f:
+            key += "|" + hashlib.sha256(f.read()).hexdigest()
+    return hashlib.sha256(key.encode()).hexdigest()[:16]
+
+
 def run_process(source: str, fastk_root: str | None, out: str | None,
                 nproc: int = 1, pid: int = 0, coord: str | None = None,
                 coverage: int = 0, read_len: int = 20000,
@@ -149,11 +165,24 @@ def run_process(source: str, fastk_root: str | None, out: str | None,
     eng = TpuEngine(gm, batch_size=batch_size)
 
     shard = final + (f".{pid}" if nproc > 1 else "")
+    stamp = _params_stamp(source, nproc, pid, coverage, read_len,
+                          model_path)
+    stamp_path = shard + ".params"
     if resume and shard_records(shard) == end - beg:
+        try:
+            with open(stamp_path) as f:
+                prior = f.read().strip()
+        except OSError:
+            prior = None
+        if prior == stamp:
+            if verbose:
+                print(f"[{pid}/{nproc}] resume: {shard} complete "
+                      f"({end - beg} reads), skipping", file=sys.stderr)
+            return shard
         if verbose:
-            print(f"[{pid}/{nproc}] resume: {shard} complete "
-                  f"({end - beg} reads), skipping", file=sys.stderr)
-        return shard
+            print(f"[{pid}/{nproc}] resume: {shard} was produced with "
+                  f"different parameters — reclassifying",
+                  file=sys.stderr)
     recs: list = []
 
     K = gm.kmer
@@ -184,6 +213,8 @@ def run_process(source: str, fastk_root: str | None, out: str | None,
             for rec, cls in zip(chunk_recs, classes):
                 f.write(f"{class_header(rec.name, rec.comment)}\n"
                         f"{rec.seq}\n+\n{cls}\n")
+    with open(stamp_path, "w") as f:
+        f.write(stamp + "\n")
     if verbose:
         print(f"[{pid}/{nproc}] wrote {shard} (reads {beg}..{end})",
               file=sys.stderr)

@@ -115,3 +115,15 @@ def test_reference_refuses_same_long_read(long_read_ds):
     assert r.returncode == 1
     assert "rlen (61420) > MAX_READ_LEN for FASTX inputs (60000)" \
         in r.stderr
+
+
+def test_cli_accepts_bare_root_like_reference(tmp_path, capsys):
+    """ClassPro.c:413-423 Root-strips and re-appends each EXT, so a bare
+    root ('reads') with 'reads.fasta.gz' present is ACCEPTED — the
+    refusal envelope probes like the C instead of requiring a literal
+    known extension (ADVICE r4)."""
+    bare = TINY[: -len(".fasta.gz")]
+    rc, _ = _classify(["-o", str(tmp_path / "o.class")], source=bare,
+                      capsys=capsys)
+    assert rc == 0
+    assert (tmp_path / "o.class").exists()

@@ -176,3 +176,117 @@ def test_shard_resume_kill_and_rerun(tmp_path):
     assert shard_records(multi + ".1") == expected[1]
     merge_shards(multi, 2, expected)
     assert open(multi).read() == open(single).read()
+
+
+def test_resume_rejects_stale_params_shard(tmp_path):
+    """A structurally-complete shard produced under DIFFERENT parameters
+    must not be reused: --resume verifies the params stamp, so a rerun
+    with -c overridden reclassifies, and a rerun with the SAME params
+    then skips (ADVICE r4)."""
+    import os
+
+    from classpro_tpu.parallel.driver import run_process
+
+    src = str(_stage_tiny(tmp_path))
+    fk = str(tmp_path / "reads")
+    multi = str(tmp_path / "multi.class")
+    run_process(src, fk, multi, nproc=2, pid=0, _skip_init=True)
+
+    stat0 = os.stat(multi + ".0")
+    run_process(src, fk, multi, nproc=2, pid=0, resume=True, coverage=40,
+                _skip_init=True)
+    s1 = os.stat(multi + ".0")
+    assert s1.st_mtime_ns != stat0.st_mtime_ns       # recomputed
+    run_process(src, fk, multi, nproc=2, pid=0, resume=True, coverage=40,
+                _skip_init=True)
+    s2 = os.stat(multi + ".0")
+    assert (s2.st_mtime_ns, s2.st_ino) == (s1.st_mtime_ns, s1.st_ino)
+
+
+def _stage_subset(tmp_path, n):
+    """First n reads of the tiny fixture as a standalone dataset (same
+    .hist, so single and sharded runs share one global model)."""
+    import itertools
+
+    from classpro_tpu.io.fastk import open_profiles, write_profiles
+    from classpro_tpu.io.fastx import read_fastx, write_fasta
+
+    fix = FIX / "tiny"
+    recs = list(itertools.islice(read_fastx(str(fix / "reads.fasta.gz")),
+                                 n))
+    write_fasta(str(tmp_path / "reads.fasta"),
+                [(r.name, r.comment, r.seq) for r in recs])
+    P = open_profiles(str(fix / "reads"))
+    write_profiles(str(tmp_path / "reads"), [P.fetch(i) for i in range(n)],
+                   P.kmer, nparts=1)
+    (tmp_path / "reads.hist").write_bytes((fix / "reads.hist").read_bytes())
+    return str(tmp_path / "reads.fasta")
+
+
+def test_eight_shards_uneven_with_empty_tail(tmp_path):
+    """nproc=8 over 42 reads (io.c:175-176 ceil partition): per-shard
+    size 6, so shards 0-6 carry all 42 reads and shard 7 is EMPTY.
+    Every process still writes its (empty) shard file, the validated
+    merge accepts the 0-record tail, and the result equals a single
+    run (VERDICT r4 item 8: uneven + empty-tail realism)."""
+    from classpro_tpu.io.fastk import open_profiles
+    from classpro_tpu.parallel.driver import (merge_shards, run_process,
+                                              shard_range, shard_records)
+
+    src = _stage_subset(tmp_path, 42)
+    fk = str(tmp_path / "reads")
+    single = str(tmp_path / "single.class")
+    run_process(src, fk, single, nproc=1, pid=0)
+
+    nproc = 8
+    nreads = open_profiles(fk).nreads
+    assert nreads == 42
+    spans = [shard_range(nreads, nproc, p) for p in range(nproc)]
+    expected = [e - b for b, e in spans]
+    assert expected[-1] == 0 and sum(expected) == nreads
+
+    multi = str(tmp_path / "multi.class")
+    for pid in range(nproc):
+        run_process(src, fk, multi, nproc=nproc, pid=pid, _skip_init=True)
+    assert shard_records(multi + f".{nproc - 1}") == 0
+    merge_shards(multi, nproc, expected)
+    assert open(multi).read() == open(single).read()
+
+
+def test_four_shard_resume_after_kill(tmp_path):
+    """Resume at 4 shards (VERDICT r4 item 8): shard 1 truncated
+    mid-record and shard 2 deleted; --resume recomputes exactly those
+    two, skips 0 and 3, and the merge equals a clean run."""
+    import os
+
+    from classpro_tpu.io.fastk import open_profiles
+    from classpro_tpu.parallel.driver import (merge_shards, run_process,
+                                              shard_range, shard_records)
+
+    src = str(_stage_tiny(tmp_path))
+    fk = str(tmp_path / "reads")
+    single = str(tmp_path / "single.class")
+    run_process(src, fk, single, nproc=1, pid=0)
+
+    multi = str(tmp_path / "multi.class")
+    for pid in range(4):
+        run_process(src, fk, multi, nproc=4, pid=pid, _skip_init=True)
+    with open(multi + ".1", "r+b") as f:
+        f.truncate(os.path.getsize(multi + ".1") - 11)
+    os.remove(multi + ".2")
+
+    nreads = open_profiles(fk).nreads
+    expected = [e - b for b, e in (shard_range(nreads, 4, p)
+                                   for p in range(4))]
+    stats = {p: os.stat(f"{multi}.{p}") for p in (0, 3)}
+    for pid in range(4):
+        run_process(src, fk, multi, nproc=4, pid=pid, resume=True,
+                    _skip_init=True)
+    for p in (0, 3):   # untouched
+        s = os.stat(f"{multi}.{p}")
+        assert (s.st_mtime_ns, s.st_ino) == (stats[p].st_mtime_ns,
+                                             stats[p].st_ino)
+    for p in (1, 2):   # recomputed
+        assert shard_records(f"{multi}.{p}") == expected[p]
+    merge_shards(multi, 4, expected)
+    assert open(multi).read() == open(single).read()
