@@ -153,11 +153,46 @@ def _check_classify_args(args) -> None:
                          f".f{{ast}}[aq][.gz] file")
 
 
+def cmd_serve(args: argparse.Namespace) -> int:
+    from classpro_tpu.serve import serve
+
+    shapes = tuple(tuple(int(x) for x in s.lower().split("x"))
+                   for s in args.warmup_shape)
+    return serve(args.socket, warmup_root=args.warmup_root,
+                 warmup_shapes=shapes, verbose=args.verbose)
+
+
 def cmd_classify(args: argparse.Namespace) -> int:
     from classpro_tpu.io.classfile import write_class
     from classpro_tpu.timing import PhaseTimer
 
     _check_classify_args(args)
+    if getattr(args, "server", None):
+        # delegate to the warm daemon; unsupported-by-serve options are
+        # refused here rather than silently dropped
+        from classpro_tpu.serve import request
+
+        if args.seeds or args.engine == "exact" or \
+                args.source.endswith((".db", ".dam")):
+            raise ValueError("--server supports plain FASTX classify "
+                             "jobs (no -s/--engine exact/.db/.dam)")
+        root = _root_of(args.source)
+        rep = request(args.server, {
+            "cmd": "classify", "source": os.path.abspath(args.source),
+            "fastk_root": os.path.abspath(args.fastk_root or root),
+            "output": os.path.abspath(args.output or root + ".class"),
+            "coverage": args.coverage, "read_len": args.read_len,
+            "model": args.model and os.path.abspath(args.model),
+            "threads": args.threads, "warmup": args.warmup,
+        }, timeout=30.0)
+        if not rep.get("ok"):
+            print(f"server error: {rep.get('error')}", file=sys.stderr)
+            return 1
+        if args.verbose:
+            print(f"server: {rep['reads']} reads in {rep['wall_s']}s "
+                  f"-> {rep['output']} (warm shapes "
+                  f"{rep['warm_shapes']})", file=sys.stderr)
+        return 0
     timer = PhaseTimer()
     if args.source.endswith((".dam", ".db")):
         rc = _classify_db(args)
@@ -195,11 +230,13 @@ def cmd_classify(args: argparse.Namespace) -> int:
     else:
         from classpro_tpu.tpu.engine import classify_file_tpu
 
+        eng_stats: dict = {}
         recs = classify_file_tpu(args.source, fk_root, coverage=args.coverage,
                                  read_len=args.read_len, model_path=args.model,
                                  threads=args.threads, verbose=args.verbose,
                                  warmup=args.warmup,
-                                 devices=getattr(args, "devices", 0))
+                                 devices=getattr(args, "devices", 0),
+                                 stats_out=eng_stats)
     if args.seeds:
         from classpro_tpu.io.fastk import open_profiles
 
@@ -247,6 +284,14 @@ def cmd_classify(args: argparse.Namespace) -> int:
     with prof_ctx:
         write_class(out, counted(recs))
     wall = _time.time() - t0
+    if getattr(args, "stats_json", None):
+        import json as _json
+
+        rec = dict(wall_s=round(wall, 2), **stats)
+        if args.engine == "tpu":
+            rec.update(eng_stats)
+        with open(args.stats_json, "w") as f:
+            _json.dump(rec, f)
     if args.verbose:
         print(f"wrote {out}", file=sys.stderr)
         print(f"{stats['reads']} reads, {stats['kmers']} k-mers in "
@@ -392,7 +437,32 @@ def build_parser() -> argparse.ArgumentParser:
                         "streaming (cold-start on this platform defers "
                         "the real build to first execution; see "
                         "CLAUDE.md/engine.py notes)")
+    c.add_argument("--stats-json", metavar="PATH",
+                   help="write run telemetry (wall, reads, k-mers, "
+                        "guard flag count + min margin, shape buckets, "
+                        "absorbed chunks) as JSON — the exactness "
+                        "guard's health record for soak/bench artifacts")
+    c.add_argument("--server", metavar="SOCK",
+                   help="delegate the job to a running `classpro-tpu "
+                        "serve` daemon at this unix socket (warm device "
+                        "executables; the cold-start amortization "
+                        "story — see serve.py)")
     c.set_defaults(fn=cmd_classify)
+
+    sv = sub.add_parser(
+        "serve", help="persistent warm-engine daemon: holds compiled "
+                      "device executables across jobs; clients attach "
+                      "with `classify --server SOCK`")
+    sv.add_argument("--socket", required=True, metavar="SOCK",
+                    help="unix socket path to listen on")
+    sv.add_argument("--warmup-root", metavar="FASTK_ROOT",
+                    help="pre-build device programs using this "
+                         "dataset's model before taking traffic")
+    sv.add_argument("--warmup-shape", action="append", default=[],
+                    metavar="RxM", help="shape bucket(s) to warm, e.g. "
+                                        "256x192 (repeatable)")
+    sv.add_argument("-v", "--verbose", action="store_true")
+    sv.set_defaults(fn=cmd_serve)
 
     g = sub.add_parser("classgs", help="global-threshold classification")
     g.add_argument("source")
@@ -515,6 +585,7 @@ def _tpu_preflight_or_fallback(argv) -> None:
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if (args.platform is None and args.fn is cmd_classify
+            and not getattr(args, "server", None)   # client: no device
             and os.environ.get("PALLAS_AXON_POOL_IPS")
             and not os.environ.get("CLASSPRO_NO_PREFLIGHT")):
         _tpu_preflight_or_fallback(

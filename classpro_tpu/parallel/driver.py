@@ -208,7 +208,7 @@ def run_process(source: str, fastk_root: str | None, out: str | None,
             yield _flush(buf, end - len(buf))
 
     with open(shard, "w") as f:
-        for classes in eng.classify_stream(chunks()):
+        for classes in eng.classify_stream(chunks(), sort_window=8):
             chunk_recs = recs.pop(0)
             for rec, cls in zip(chunk_recs, classes):
                 f.write(f"{class_header(rec.name, rec.comment)}\n"

@@ -397,6 +397,8 @@ class TpuEngine:
         # an oracle-speed slowdown (VERDICT r2 weak #6)
         self.guard_flagged = 0
         self.guard_min_margin = float("inf")
+        self.chunks_done = 0        # stream telemetry (--stats-json)
+        self.absorbed_chunks = 0    # chunks re-bucketed into a warm shape
 
     def _next_device(self):
         """Round-robin device for the next chunk (None = default)."""
@@ -516,7 +518,8 @@ class TpuEngine:
     # device wait all release the GIL, so a depth-3 software pipeline
     # with background fetch threads keeps host and device both busy.
     # ------------------------------------------------------------------
-    def classify_stream(self, chunks, prefetch: int = 2):
+    def classify_stream(self, chunks, prefetch: int = 2,
+                        sort_window: int = 0):
         """Yield one list of class strings per (seqs, profiles) chunk,
         in order, with cross-chunk host/device overlap.
 
@@ -525,11 +528,25 @@ class TpuEngine:
         real work (native FASTA parse + FASTK profile decode, both
         GIL-releasing), which would otherwise serialize with the host
         stages and the device round trip (measured ~34 ms per 4M-kmer
-        pass on the medium fixture)."""
+        pass on the medium fixture).
+
+        ``sort_window`` > 1 re-composes device batches from windows of
+        that many input chunks, ordered by profile length: the rel DP's
+        dynamic trip count is the batch MAX interval count, so batching
+        similar-length reads together cuts the summed trip count ~20%
+        on long-read/high-coverage geometries (measured on the 0.5 Gbp
+        soak dataset: 36046 -> 28624 steps at W=8; plen~n_rel corr
+        0.91).  Results are re-assembled into the ORIGINAL chunk
+        structure and order, so output bytes are unchanged (per-read
+        independence; asserted by tests)."""
         import collections
         import os as _os
 
         prefetch = int(_os.environ.get("CP_PREFETCH", prefetch))
+        sort_window = int(_os.environ.get("CP_SORT_WINDOW", sort_window))
+        if sort_window > 1:
+            yield from self._sorted_stream(chunks, prefetch, sort_window)
+            return
         if prefetch > 0:
             chunks = _prefetch_iter(chunks, prefetch)
         # depth 3 covers one device (host k+1 || device k || finish
@@ -548,6 +565,58 @@ class TpuEngine:
                 yield self._finish(pending.popleft())
         while pending:
             yield self._finish(pending.popleft())
+
+    def _sorted_stream(self, chunks, prefetch: int, W: int):
+        """classify_stream body for sort_window: flatten windows of W
+        input chunks, order reads by profile length, run the SAME
+        continuous depth-3 pipeline over the re-composed batches (no
+        barrier at window boundaries — the inner stream's chunk
+        generator spans windows), then un-sort each window's results
+        back into the original chunk structure."""
+        import itertools
+
+        B = self.batch_size
+        if prefetch > 0:
+            chunks = _prefetch_iter(chunks, prefetch)
+        win_meta: list = []    # (orig chunk sizes, sort order, n subchunks)
+
+        def sorted_chunks():
+            it = iter(chunks)
+            while True:
+                win = list(itertools.islice(it, W))
+                if not win:
+                    return
+                seqs = [s for ss, _ in win for s in ss]
+                profs = [p for _, pp in win for p in pp]
+                order = sorted(range(len(seqs)),
+                               key=lambda i: len(profs[i]))
+                subs = [order[k: k + B] for k in range(0, len(order), B)]
+                win_meta.append(([len(ss) for ss, _ in win], order,
+                                 len(subs)))
+                for idx in subs:
+                    yield ([seqs[i] for i in idx],
+                           [profs[i] for i in idx])
+
+        # the generator runs ahead of the consumer (depth-3 in-flight
+        # chunks), so win_meta[wi] always exists when its last subchunk
+        # finishes
+        pending: list = []
+        wi = 0
+        for res in self.classify_stream(sorted_chunks(), prefetch=0):
+            pending.append(res)
+            sizes, order, nsub = win_meta[wi]
+            if len(pending) < nsub:
+                continue
+            flat = [c for r in pending for c in r]
+            unsort = [None] * len(flat)
+            for j, i in enumerate(order):
+                unsort[i] = flat[j]
+            off = 0
+            for sz in sizes:
+                yield unsort[off: off + sz]
+                off += sz
+            pending = []
+            wi += 1
 
     def _stage(self, seqs, profiles):
         """Wall stage (C++) for one chunk; bucket sizing recorded for a
@@ -590,6 +659,7 @@ class TpuEngine:
             key=lambda k: k[0] * k[1])
         if cands:
             st["_R"], st["_mm"] = cands[0]
+            self.absorbed_chunks += 1
 
     def _pack_st(self, st, R: int, max_m: int):
         """C++ rel pack for a staged chunk at the given bucket; records
@@ -612,6 +682,7 @@ class TpuEngine:
         import threading
 
         st = self._stage(seqs, profiles)
+        self.chunks_done += 1
         if "_plens" in st:
             fb, ib = self._pack_st(st, st["_R"], st["_mm"])
             out = self._rel_exec(st["_R"], st["_mm"],
@@ -842,7 +913,8 @@ def classify_file_tpu(fastx_path: str, fastk_root: str, coverage: int = 0,
                       read_len: int = 20000, model_path: str | None = None,
                       batch_size: int = 200, threads: int = 0,
                       verbose: bool = False, warmup: bool = False,
-                      devices: int = 0) -> Iterator[ClassRecord]:
+                      devices: int = 0,
+                      stats_out: dict | None = None) -> Iterator[ClassRecord]:
     # setup (model build + optional device warmup) runs EAGERLY at call
     # time — the streaming body is the inner generator
     hist = load_histogram(fastk_root)
@@ -915,10 +987,28 @@ def classify_file_tpu(fastx_path: str, fastk_root: str, coverage: int = 0,
             yield flush(chunk, rid - len(chunk))
 
     def stream():
-        for classes in eng.classify_stream(chunk_iter()):
+        import time as _time
+
+        t0 = _time.time()
+        # sort_window=8: device batches composed from plen-ordered
+        # windows (same bytes, ~20% fewer DP steps on long-read
+        # geometries; see classify_stream docstring)
+        for classes in eng.classify_stream(chunk_iter(), sort_window=8):
             chunk_recs = recs.pop(0)
             for rec, cls in zip(chunk_recs, classes):
                 yield ClassRecord(class_header(rec.name, rec.comment),
                                   rec.seq, cls)
+        if stats_out is not None:
+            # exactness + stream telemetry for artifacts (SOAK_r05 /
+            # --stats-json): the guard's flag rate and worst margin are
+            # the exactness backstop's health signals at scale
+            stats_out.update(
+                stream_wall_s=round(_time.time() - t0, 2),
+                chunks=eng.chunks_done,
+                absorbed_chunks=eng.absorbed_chunks,
+                guard_flagged=int(eng.guard_flagged),
+                min_margin=(None if eng.guard_min_margin == float("inf")
+                            else float(eng.guard_min_margin)),
+                shapes=[list(k[:2]) for k in eng._exec_cache])
 
     return stream()

@@ -2438,13 +2438,36 @@ static inline double x_logp_binom(int64_t k64, int64_t n64, double p) {
 // would loop for minutes in BOTH implementations — the saturated value
 // keeps the C++ defined (no wrap) on inputs outside the reference's
 // own domain.
+// memoized exact skellam for the oracle path: nr_bessi costs
+// ~2*(n+sqrt(40n)) downward-recurrence iterations per call, and one
+// flagged read's fw+bw DP makes ~5k x_logp_trans calls with heavy
+// (k, lam) repetition (the 4 source-state ST rows usually coincide).
+// A direct-mapped cache returns the IDENTICAL bit-exact value (same
+// deterministic function, recompute on collision) — the guard's
+// exact-recompute contract is unchanged.  Measured on the soak
+// geometry's ~50 flagged reads/chunk: ~1.0 ms/read before.
+static inline double x_skellam_memo(int k, double lam) {
+  struct Ent { uint64_t tag; int k; double lam, v; };
+  constexpr size_t NB = 1 << 16;
+  thread_local std::vector<Ent> tab(NB);
+  uint64_t lb;
+  std::memcpy(&lb, &lam, 8);
+  uint64_t h = (uint64_t)(uint32_t)k * 0x9E3779B97F4A7C15ULL ^
+               (lb * 0xC2B2AE3D27D4EB4FULL);
+  Ent& e = tab[h & (NB - 1)];
+  if (e.tag == h + 1 && e.k == k && e.lam == lam) return e.v;
+  double v = logp_skellam(k, lam);
+  e = Ent{h + 1, k, lam, v};
+  return v;
+}
+
 static inline double x_logp_trans(int64_t b, int64_t e, int64_t cb,
                                   int64_t ce, int64_t cov, int read_len) {
   double lam = (double)cov * (double)std::llabs(e - b) / read_len;
   int64_t k = ce - cb;
   if (k > INT32_MAX) k = INT32_MAX;
   else if (k < -(int64_t)INT32_MAX) k = -(int64_t)INT32_MAX;
-  return logp_skellam((int)k, lam);
+  return x_skellam_memo((int)k, lam);
 }
 
 // util.c:24 — cnt1 + (cnt2-cnt1)*(x-pos1)/(pos2-pos1), mult before div

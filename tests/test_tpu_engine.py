@@ -645,3 +645,34 @@ def test_backend_init_watchdog_timeout_and_error(monkeypatch):
     assert E._BACKEND_OK
     # cached: a subsequent wedged init is never run
     E._ensure_backend(timeout=0.1, _init=lambda: _time.sleep(30))
+
+
+def test_sorted_stream_matches_plain():
+    """sort_window re-composes device batches from plen-ordered windows
+    but must yield BYTE-identical results in the original chunk
+    structure (per-read independence).  Window sizes that divide, and
+    don't divide, the chunk count; uneven chunk sizes; a window
+    boundary mid-dataset; empty-profile reads."""
+    from classpro_tpu.estimation import build_global_model
+    from classpro_tpu.io.fastk import load_histogram, open_profiles
+    from classpro_tpu.io.fastx import read_fastx
+    from classpro_tpu.tpu.engine import TpuEngine
+
+    gm = build_global_model(load_histogram(str(FIX / "tiny" / "reads")))
+    P = open_profiles(str(FIX / "tiny" / "reads"))
+    reads = list(read_fastx(str(FIX / "tiny" / "reads.fasta.gz")))
+    n = len(reads)
+    seqs = [r.seq for r in reads]
+    profs = [P.fetch(i) for i in range(n)]
+    profs[7] = profs[7][:0]          # empty-profile read inside window 0
+
+    eng = TpuEngine(gm, batch_size=32)
+    # uneven chunk sizes (the driver/CLI produce a short tail chunk)
+    cuts = list(range(0, n, 32))
+    chunks = [(seqs[a:b], profs[a:b])
+              for a, b in zip(cuts, cuts[1:] + [n])]
+    want = list(eng.classify_stream(iter(chunks)))
+    for W in (2, 3, 16):
+        got = list(eng.classify_stream(iter(chunks), sort_window=W))
+        assert [len(c) for c in got] == [len(c) for c in want]
+        assert got == want, f"sort_window={W} diverged"

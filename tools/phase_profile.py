@@ -29,6 +29,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=200)
     ap.add_argument("--passes", type=int, default=5)
+    ap.add_argument("--root", default=None,
+                    help="dataset root (default: the medium fixture)")
+    ap.add_argument("--nreads", type=int, default=0,
+                    help="limit to the first N reads (0 = all)")
     args = ap.parse_args()
 
     import jax
@@ -41,12 +45,19 @@ def main() -> None:
     from classpro_tpu.tpu.device_pipeline import reconcile_fwbw
     from classpro_tpu.tpu.engine import TpuEngine
 
-    fx = REPO / "tests" / "fixtures" / "medium"
-    gm = build_global_model(load_histogram(str(fx / "reads")))
-    P = open_profiles(str(fx / "reads"))
-    reads = list(read_fastx(str(fx / "reads.fasta.gz")))
-    profs = [P.fetch(i) for i in range(P.nreads)]
-    seqs = [r.seq for r in reads]
+    root = args.root or str(REPO / "tests" / "fixtures" / "medium" /
+                            "reads")
+    gm = build_global_model(load_histogram(root))
+    P = open_profiles(root)
+    fa = root + (".fasta.gz" if pathlib.Path(root + ".fasta.gz").exists()
+                 else ".fasta")
+    n = P.nreads if args.nreads <= 0 else min(args.nreads, P.nreads)
+    seqs = []
+    for i, r in enumerate(read_fastx(fa)):
+        if i >= n:
+            break
+        seqs.append(r.seq)
+    profs = [P.fetch(i) for i in range(n)]
     total_kmers = sum(len(p) for p in profs)
 
     eng = TpuEngine(gm, batch_size=args.batch)

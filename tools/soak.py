@@ -131,10 +131,12 @@ def run_classify(d: str, platform: str) -> dict:
         env["JAX_PLATFORMS"] = "cpu"
         env["CLASSPRO_NO_PREFLIGHT"] = "1"
     out = os.path.join(d, "soak.class")
+    stats_path = os.path.join(d, "soak.stats.json")
     cmd = [sys.executable, "-m", "classpro_tpu.cli"]
     if platform == "cpu":
         cmd += ["--platform", "cpu"]
-    cmd += ["classify", "-v", os.path.join(d, "reads.fasta"), "-o", out]
+    cmd += ["classify", "-v", "--stats-json", stats_path,
+            os.path.join(d, "reads.fasta"), "-o", out]
     t0 = time.time()
     p = subprocess.Popen(cmd, env=env, stdout=subprocess.DEVNULL,
                          stderr=subprocess.PIPE, text=True)
@@ -168,7 +170,17 @@ def run_classify(d: str, platform: str) -> dict:
         else:
             stall_s += b["t"] - a["t"]
     sus = grow_mb / grow_s if grow_s else None
+    eng_stats = {}
+    try:
+        with open(stats_path) as f:
+            eng_stats = json.load(f)
+    except (OSError, ValueError):
+        pass
     return {"wall_s": round(wall, 1),
+            # exactness-guard telemetry at soak scale (VERDICT r4 #5):
+            # flag count and worst margin ride the artifact so a margin
+            # collapse at scale is visible, not just in bench runs
+            "engine_stats": eng_stats,
             "rss_peak_mb": max((s["rss_mb"] for s in samples), default=-1),
             "sustained_out_mb_s": round(sus, 2) if sus else None,
             "growth_seconds": round(grow_s, 1),
@@ -251,8 +263,9 @@ def main() -> int:
     ap.add_argument("--gbp", type=float, default=0.5)
     ap.add_argument("--dir", default="/tmp/soak")
     ap.add_argument("--platform", choices=["cpu", "tpu"], default="tpu")
-    ap.add_argument("--out", default="artifacts/SOAK_r04.json")
-    ap.add_argument("--spot", type=int, default=40)
+    ap.add_argument("--out", default="artifacts/SOAK_r05.json")
+    ap.add_argument("--spot", type=int, default=420,
+                help="sampled exact-oracle parity reads (>=1% of the 0.5 Gbp dataset, VERDICT r4 #5)")
     ap.add_argument("--skip-gen", action="store_true")
     ap.add_argument("--skip-shard", action="store_true")
     a = ap.parse_args()
