@@ -354,6 +354,24 @@ def sc_psum0(rng):
     return _hist_counts(rng, 93, 186), reads
 
 
+def sc_psum0multi(rng):
+    """Workspace-ordering probe for the psum0 all-dead traceback
+    (ADVICE r4): the C's -T1 loop reuses bt across reads, and an
+    all-dead final cell reads a bt row this read never wrote — so a
+    psum0 read AFTER a read with MORE rel intervals (6 here) could in
+    principle see the previous read's path bytes instead of fresh zero
+    pages.  Measured 2026-08-20: reference output is byte-identical
+    across solo/multi orderings AND -T1/-T2 (the relaxation sweeps
+    override the rel-DP assignment for this profile shape), and our
+    fresh-workspace pin matches it byte-for-byte.  This fixture keeps
+    that ordering case pinned."""
+    hist, reads = sc_psum0(rng)
+    psum0_prof = reads[0][0]
+    r0 = np.concatenate([np.full(800, 93 if i % 2 == 0 else 161)
+                         for i in range(6)])
+    return hist, [(r0, None), (psum0_prof, None)]
+
+
 def _cap_batch(seed: int):
     """Boundary-cap batch: GLOBAL_COV[REPEAT] pushed against the 255
     hard cap (calc_init_thres exits above it, wall.c:174-178) and
@@ -425,12 +443,14 @@ SCENARIOS = {
     "smallk": sc_smallk,
     "stepdip": sc_stepdip,
     "psum0": sc_psum0,
+    "psum0multi": sc_psum0multi,
 }
 
 # extra ClassPro/classify arguments a scenario needs (also
 # written to the fixture as args.json for test_branch_parity)
 SCENARIO_ARGS = {
     "psum0": {"coverage": 186, "read_len": 4500},
+    "psum0multi": {"coverage": 186, "read_len": 4500},
 }
 
 def _ref_args(name):
