@@ -380,9 +380,15 @@ def cmd_repdepanno(args: argparse.Namespace) -> int:
 def cmd_simulate(args: argparse.Namespace) -> int:
     from classpro_tpu.tools.simulate import SimConfig, generate_dataset
 
+    extra = {}
+    if getattr(args, "repeat_rich", False):
+        # ~15% of the genome in satellite arrays + two 10kb segdups
+        n_arr = max(1, args.genome_len // 70_000)
+        extra = dict(n_satellite_arrays=n_arr,
+                     n_segdups=2 if args.genome_len > 25_000 else 0)
     cfg = SimConfig(seed=args.seed, genome_len=args.genome_len,
                     coverage=args.coverage, read_len_mean=args.read_len,
-                    kmer=args.kmer)
+                    kmer=args.kmer, **extra)
     info = generate_dataset(args.outdir, cfg, nparts=args.nparts)
     print(info)
     return 0
@@ -549,6 +555,12 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--read-len", type=int, default=10_000)
     s.add_argument("--kmer", type=int, default=40)
     s.add_argument("--nparts", type=int, default=1)
+    s.add_argument("--repeat-rich", action="store_true",
+                   help="adversarial repeat structure: alpha-satellite-"
+                        "like tandem arrays (divergent 171bp monomers) "
+                        "+ segmental duplications — centromere-grade R "
+                        "tracts and max_m bucket pressure (VERDICT r4 "
+                        "realism)")
     s.set_defaults(fn=cmd_simulate)
     return ap
 

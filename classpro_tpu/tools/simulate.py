@@ -48,6 +48,20 @@ class SimConfig:
     sub_rate: float = 0.002          # HiFi-like substitution rate
     hp_indel_rate: float = 0.001     # 1bp indel rate inside homopolymers
     kmer: int = 40
+    # repeat-rich adversarial mode (VERDICT r4 "real-data realism"):
+    # alpha-satellite-like tandem arrays (divergent ~171bp monomers)
+    # and long segmental duplications with small divergence — the
+    # repeat structure of real centromeric/duplicated regions that the
+    # interspersed-repeat default doesn't model.  Drives long R tracts,
+    # near-single-copy dup k-mers, and the biggest per-read interval
+    # counts (max_m bucket pressure).
+    n_satellite_arrays: int = 0      # tandem arrays to plant
+    satellite_unit: int = 171        # monomer length (alphoid-like)
+    satellite_copies: int = 60       # monomers per array
+    satellite_divergence: float = 0.02   # per-base monomer divergence
+    n_segdups: int = 0               # segmental duplications
+    segdup_len: int = 10_000
+    segdup_divergence: float = 0.005
 
 
 def make_diploid(cfg: SimConfig, rng: np.random.Generator) -> tuple[bytes, bytes]:
@@ -59,6 +73,36 @@ def make_diploid(cfg: SimConfig, rng: np.random.Generator) -> tuple[bytes, bytes
         for _ in range(cfg.repeat_copies):
             pos = int(rng.integers(0, cfg.genome_len - cfg.repeat_len))
             g[pos : pos + cfg.repeat_len] = unit
+    # tandem satellite arrays: one base monomer per array, each copy
+    # independently diverged -> k-mer counts spread across the R/D/H
+    # boundary inside one long tract (real centromere-like structure)
+    for _ in range(cfg.n_satellite_arrays):
+        mono = _BASES[rng.integers(0, 4, size=cfg.satellite_unit)]
+        arr_len = cfg.satellite_unit * cfg.satellite_copies
+        if arr_len >= cfg.genome_len:
+            continue
+        pos = int(rng.integers(0, cfg.genome_len - arr_len))
+        for c in range(cfg.satellite_copies):
+            m = mono.copy()
+            nmut = rng.binomial(cfg.satellite_unit,
+                                cfg.satellite_divergence)
+            for p in rng.choice(cfg.satellite_unit, size=nmut,
+                                replace=False):
+                m[p] = _BASES[rng.integers(0, 4)]
+            g[pos + c * cfg.satellite_unit:
+              pos + (c + 1) * cfg.satellite_unit] = m
+    # segmental duplications: a long source span copied elsewhere with
+    # small divergence -> near-two-copy k-mers (D/R edge pressure)
+    for _ in range(cfg.n_segdups):
+        if cfg.segdup_len * 2 >= cfg.genome_len:
+            continue
+        src = int(rng.integers(0, cfg.genome_len - cfg.segdup_len))
+        dup = g[src: src + cfg.segdup_len].copy()
+        nmut = rng.binomial(cfg.segdup_len, cfg.segdup_divergence)
+        for p in rng.choice(cfg.segdup_len, size=nmut, replace=False):
+            dup[p] = _BASES[rng.integers(0, 4)]
+        dst = int(rng.integers(0, cfg.genome_len - cfg.segdup_len))
+        g[dst: dst + cfg.segdup_len] = dup
     hap1 = g.copy()
     hap2 = g.copy()
     n_snp = rng.binomial(cfg.genome_len, cfg.het_rate)

@@ -132,6 +132,132 @@ def battery() -> None:
                  "--genome-len", str(glen), "--coverage", str(cov),
                  "--seed", str(seed)])
             classpro(["-T1", f"-P{d}", "reads.fasta"], cwd=d)
+        # --- argument/input refusal envelope (VERDICT r4 #7: the
+        # test_cli_refusals battery's reference-side equivalents —
+        # parse_arg error paths, EXT-probe refusal, usage exits) ---
+        classpro(["-T0", f"-P{tiny}", fa], cwd=tiny)       # bad -T
+        classpro(["-T1", "-c-1", f"-P{tiny}", fa], cwd=tiny)
+        classpro(["-T1", "-r0", f"-P{tiny}", fa], cwd=tiny)
+        classpro(["-T1", "-P/nonexistent", fa], cwd=tiny)  # bad -P
+        classpro(["-T1", f"-P{tiny}", "nope.xyz"], cwd=tiny)  # EXT refuse
+        classpro(["-T1", f"-P{tiny}", fa, fa], cwd=tiny)   # >1 input
+        classpro(["-T1", f"-N/nonexistent/root", f"-P{tiny}", fa],
+                 cwd=tiny)                                  # bad FASTK root
+        classpro(["-v", "-s", "-T1", f"-P{tiny}", fa], cwd=tiny)
+        # -s on FASTX (not .db/.dam): track-writing refusal path
+        # profile/read length mismatch (ClassPro.c:184-187): truncate
+        # one read's sequence while keeping its profile
+        mm = os.path.join(top, "mismatch")
+        fa_mm = stage_fixture("tiny", mm)
+        import gzip as _g2
+        lines = _g2.decompress(open(fa_mm, "rb").read()).decode().split("\n")
+        lines[1] = lines[1][:100]
+        with _g2.open(fa_mm, "wt") as f:
+            f.write("\n".join(lines))
+        classpro(["-T1", f"-P{mm}", fa_mm], cwd=mm)
+        # --- second dispatch wave (VERDICT r4 #7: remaining reachable
+        # ClassPro.c/io.c lines: usage, relative -P forms, MAX_READ_LEN,
+        # short reads, .db container, thread-skip EOF, -T2 anno merge) --
+        classpro([], cwd=tiny)                         # usage, 396-397
+        classpro(["-T1", "-P.", fa], cwd=tiny)         # 471-476
+        os.makedirs(os.path.join(tiny, "sub"), exist_ok=True)
+        classpro(["-T1", "-P./sub", fa], cwd=tiny)     # 473-474
+        classpro(["-T1", "-Psub", fa], cwd=tiny)       # 483-485
+        classpro(["-T1", "-P.x", fa], cwd=tiny)        # 478-479 refusal
+        np_ = __import__("numpy")
+        from classpro_tpu.io.fastk import (histogram_from_counts as _hfc,
+                                           write_histogram as _wh,
+                                           write_profiles as _wp)
+        from classpro_tpu.io.fastx import write_fasta as _wf
+
+        def _mkds(d, reads_counts, K=40):
+            os.makedirs(d, exist_ok=True)
+            profs, recs = [], []
+            rng = np_.random.default_rng(5)
+            bases = np_.frombuffer(b"ACGT", np_.uint8)
+            for i, counts in enumerate(reads_counts):
+                counts = np_.asarray(counts, np_.uint16)
+                profs.append(counts)
+                L = len(counts) + K - 1 if len(counts) else 20
+                seq = bases[rng.integers(0, 4, L)].tobytes().decode()
+                recs.append((f"w2/{i}", "", seq))
+            _wf(os.path.join(d, "reads.fasta"), recs)
+            _wp(os.path.join(d, "reads"), profs, K)
+            _wh(os.path.join(d, "reads"),
+                _hfc(K, np_.concatenate([p for p in profs if len(p)]
+                                        or [np_.full(100, 40)])))
+            return recs
+
+        # >MAX_READ_LEN FASTX refusal (185-186)
+        big = os.path.join(top, "big")
+        _mkds(big, [np_.full(61000, 40), np_.full(900, 40)])
+        classpro(["-T1", f"-P{big}", "reads.fasta"], cwd=big)
+        # short read rlen<=Km1 (215/225) among normal reads
+        sh = os.path.join(top, "short")
+        _mkds(sh, [np_.full(900, 40), np_.zeros(0), np_.full(900, 41)])
+        classpro(["-T1", f"-P{sh}", "reads.fasta"], cwd=sh)
+        # fasta truncated vs profile nreads, -T2: thread skip hits EOF
+        # (107-108)
+        tr = os.path.join(top, "trunc")
+        recs = _mkds(tr, [np_.full(900, 40)] * 8)
+        _wf(os.path.join(tr, "reads.fasta"), recs[:2])
+        classpro(["-T2", f"-P{tr}", "reads.fasta"], cwd=tr)
+        # true .db container (94-98, 167-171; short .db read 217-222;
+        # io.c DB temp naming) with -s tracks and -T2 anno merge
+        # (601-613, io.c merge_anno)
+        from classpro_tpu.io.dazz import write_db
+        dbd = os.path.join(top, "dbd")
+        recs = _mkds(dbd, [np_.full(900, 40), np_.zeros(0),
+                           np_.full(900, 41), np_.full(900, 39)])
+        from classpro_tpu.io.fastx import read_fastx as _rfx2
+        write_db(os.path.join(dbd, "reads"),
+                 [(r.name + " " + r.comment if r.comment else r.name,
+                   r.seq)
+                  for r in _rfx2(os.path.join(dbd, "reads.fasta"))])
+        classpro(["-s", "-T1", f"-P{dbd}", "reads.db"], cwd=dbd)
+        classpro(["-s", "-T2", f"-P{dbd}", "reads.db"], cwd=dbd)
+        classpro(["-s", "-T2", f"-P{dam}", "reads.dam"], cwd=dam)
+        classpro(["-T1", f"-P{dam}", "reads.dam", "reads.dam"],
+                 cwd=dam)                              # 432-433
+        # DB-mode error paths + multi-file prolog (io.c:153-171,
+        # ClassPro.c:170, 602).  NOTE: unwritable-dir Fopen failures
+        # are NOT reachable here — the battery runs as root, which
+        # bypasses permission checks (dispatched fault-injection-only
+        # in COVERAGE.md).
+        classpro(["-s", "-T4", f"-P{dbd}", "reads.db"], cwd=dbd)
+        db2 = os.path.join(top, "db2")
+        shutil.copytree(dbd, db2)
+        lines = open(os.path.join(db2, "reads.db")).read().splitlines()
+        nr = int(lines[1].split()[0])
+        lines[0] = f"files = {2:9d}"
+        lines[1] = (f"  {nr // 2:9d} readsA prologA\n"
+                    f"  {nr:9d} readsB prologB")
+        open(os.path.join(db2, "reads.db"), "w").write(
+            "\n".join(lines) + "\n")
+        classpro(["-T2", f"-P{db2}", "reads.db"], cwd=db2)
+        db3 = os.path.join(top, "db3")
+        shutil.copytree(dbd, db3)
+        os.remove(os.path.join(db3, ".reads.bps"))   # Open_DB fail
+        classpro(["-T1", f"-P{db3}", "reads.db"], cwd=db3)
+        db4 = os.path.join(top, "db4")
+        shutil.copytree(dbd, db4)
+        shutil.copy(os.path.join(db4, "reads.db"),
+                    os.path.join(db4, "reads.1.db"))  # block refusal
+        for src, dst in (("reads.prof", "reads.1.prof"),
+                         ("reads.hist", "reads.1.hist"),
+                         (".reads.pidx.1", ".reads.1.pidx.1"),
+                         (".reads.prof.1", ".reads.1.prof.1")):
+            shutil.copy(os.path.join(db4, src), os.path.join(db4, dst))
+        classpro(["-T1", f"-P{db4}", "reads.1.db"], cwd=db4)
+        db5 = os.path.join(top, "db5")
+        shutil.copytree(dbd, db5)
+        _wp(os.path.join(db5, "reads"),               # nreads mismatch
+            [np_.full(900, 40)] * 5, 40)
+        classpro(["-T1", f"-P{db5}", "reads.db"], cwd=db5)
+        dam2 = os.path.join(top, "dam2")
+        shutil.copytree(dam, dam2)
+        os.remove(os.path.join(dam2, ".reads.hdr"))   # .hdr fail
+        classpro(["-T1", f"-P{dam2}", "reads.dam"], cwd=dam2)
         # --- crafted branch datasets (committed; see make_branch_fixtures) ---
         for d in sorted(glob.glob(os.path.join(FIX, "branch", "*"))):
             if not os.path.isdir(d):

@@ -34,6 +34,33 @@ import tools.branch_probe as bp
 # dataset generator used by build(); --extreme swaps in bp._extreme_batch
 # (the discrete-underflow-directed generator, see its docstring)
 _GEN = None
+# --ndense: inject N runs into every read (see _inject_n)
+_NDENSE = False
+
+
+def _inject_n(rng, seq: str, counts, K: int):
+    """Overwrite 1-6 random runs (1-2K bases) with 'N' and drop the
+    counts of every covering k-mer window to 1 (error-level).
+
+    NOT 0: profile entries of 0 SEGFAULT the reference binary
+    (bisected 2026-08-20: N bases in the sequence alone are fine,
+    counts[i]=0 crashes it) — 0-count profiles are outside the
+    reference's supported input domain, so byte-parity fuzzing stays
+    at >=1 while still driving the sequence-context scan through N
+    runs.  Our own engine handles 0-count profiles cleanly (rc 0,
+    verified on the bisect dataset) — a conscious robustness superset,
+    recorded in PARITY.md."""
+    b = bytearray(seq.encode())
+    counts = np.asarray(counts, np.uint16).copy()
+    plen = len(counts)
+    for _ in range(int(rng.integers(1, 7))):
+        L = int(rng.integers(1, 2 * K))
+        p = int(rng.integers(0, max(1, len(b) - L)))
+        b[p: p + L] = b"N" * min(L, len(b) - p)
+        lo = max(0, p - K + 1)
+        hi = min(plen, p + L)
+        counts[lo:hi] = 1
+    return b.decode(), counts
 
 
 def build(seed: int, outdir: str, dam: bool = False,
@@ -51,8 +78,14 @@ def build(seed: int, outdir: str, dam: bool = False,
     profiles, recs = [], []
     for i, (counts, runs) in enumerate(reads):
         counts = np.asarray(counts, np.uint16)
-        profiles.append(counts)
         seq = bp._seq(rng, len(counts) + K - 1, runs)
+        if _NDENSE:
+            # N-dense mode: random N runs in the SEQUENCE with the
+            # covering k-mer counts zeroed (FastK's convention for
+            # non-ACGT k-mers) — fuzzes the sequence-context scan and
+            # the 0-count walls against the reference's kseq+context
+            seq, counts = _inject_n(rng, seq, counts, K)
+        profiles.append(counts)
         recs.append((f"fuzz/{seed}/{i}", "", seq))
     root = os.path.join(outdir, "reads")
     if dam:
@@ -235,11 +268,13 @@ def main() -> int:
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     dam = "--dam" in sys.argv[1:]
     model = "--model" in sys.argv[1:]
-    global _GEN
+    global _GEN, _NDENSE
     if "--extreme" in sys.argv[1:]:
         _GEN = bp._extreme_batch
     if "--cap" in sys.argv[1:]:
         _GEN = bp._cap_batch
+    if "--ndense" in sys.argv[1:]:
+        _NDENSE = True
     n = int(argv[0]) if len(argv) > 0 else 20
     seed0 = int(argv[1]) if len(argv) > 1 else 1000
     env = dict(os.environ)

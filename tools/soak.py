@@ -14,10 +14,11 @@ simulate.py is ~1000x too slow at this scale), then:
 3. exercises the scatter-gather path at scale: a 2-shard
    parallel/driver run (serial processes) + validated merge, byte-
    compared to the single run;
-4. writes artifacts/SOAK_r04.json.
+4. writes artifacts/SOAK_r05.json (incl. --stats-json engine telemetry:
+   guard flag count + min margin at soak scale).
 
 Usage:
-    python3 tools/soak.py [--gbp 0.5] [--platform cpu|tpu] [--out artifacts/SOAK_r04.json]
+    python3 tools/soak.py [--gbp 0.5] [--platform cpu|tpu] [--out artifacts/SOAK_r05.json]
 
 Run on an idle machine (the CLAUDE.md measurement-hygiene rule).
 """
