@@ -390,6 +390,7 @@ class TpuEngine:
         self.wall = make_wall_stage(gm)
         self.pp = build_pipeline_params(gm)
         self._exec_cache: dict = {}
+        self._ppsig_cache: dict = {}
         # exactness-guard telemetry (surfaced in bench JSON and the -v
         # report): cumulative count of reads recomputed by the exact
         # oracle, and the smallest positive decision margin observed —
@@ -419,6 +420,27 @@ class TpuEngine:
         return pp
 
     # ------------------------------------------------------------------
+    def _rel_pp_sig(self, dev=None):
+        """(RelOnlyParams, aval signature) for this engine's tables on
+        ``dev``.  Scalar NamedTuple fields (read_len, r_logp, ...) are
+        pytree leaves too: sign them by python type, arrays by
+        (shape, dtype) — executables are reusable across engines whose
+        pp avals match (the tables ride as runtime arguments)."""
+        cached = self._ppsig_cache.get(dev)
+        if cached is not None:
+            return cached
+        from classpro_tpu.tpu.device_pipeline import RelOnlyParams
+
+        full = self._pp_for(dev)
+        pp = RelOnlyParams(rel=full.rel, gcov=full.gcov)
+        ppsig = tuple(
+            (tuple(leaf.shape), str(leaf.dtype))
+            if hasattr(leaf, "shape") and hasattr(leaf, "dtype")
+            else (type(leaf).__name__,)
+            for leaf in jax.tree_util.tree_leaves(pp))
+        self._ppsig_cache[dev] = (pp, ppsig)
+        return pp, ppsig
+
     def _rel_exec(self, R: int, max_m: int, dev=None):
         """AOT-compiled rel program per (R, max_m[, device]) bucket:
         each dispatch skips the jit cache/arg-hashing machinery
@@ -432,19 +454,7 @@ class TpuEngine:
         key = (R, max_m) if dev is None else (R, max_m, dev)
         ex = self._exec_cache.get(key)
         if ex is None:
-            from classpro_tpu.tpu.device_pipeline import RelOnlyParams
-
-            full = self._pp_for(dev)
-            pp = RelOnlyParams(rel=full.rel, gcov=full.gcov)
-            # scalar NamedTuple fields (read_len, r_logp, ...) are
-            # pytree leaves too: sign them by python type, arrays by
-            # (shape, dtype) — executables are reusable across engines
-            # whose pp avals match
-            ppsig = tuple(
-                (tuple(leaf.shape), str(leaf.dtype))
-                if hasattr(leaf, "shape") and hasattr(leaf, "dtype")
-                else (type(leaf).__name__,)
-                for leaf in jax.tree_util.tree_leaves(pp))
+            pp, ppsig = self._rel_pp_sig(dev)
             gkey = (R, max_m, dev, ppsig)
             aot = _AOT_CACHE.get(gkey)
             if aot is None:
@@ -653,9 +663,21 @@ class TpuEngine:
         if any(k[0] == st["_R"] and k[1] == st["_mm"]
                for k in self._exec_cache):
             return
+        # warm shapes = this engine's executables PLUS the process-
+        # global AOT cache entries this engine can reuse (same device
+        # + table avals) — so a fresh engine in a warm process (the
+        # `cli serve` daemon's per-job engines) absorbs into shapes a
+        # previous job already built instead of compiling its own
+        warm = {(k[0], k[1]) for k in self._exec_cache}
+        try:
+            for dev in (self.devices or [None]):
+                _, ppsig = self._rel_pp_sig(dev)
+                warm |= {(k[0], k[1]) for k in _AOT_CACHE
+                         if k[2] == dev and k[3] == ppsig}
+        except Exception:
+            pass    # absorption is an optimization, never a failure
         cands = sorted(
-            {(k[0], k[1]) for k in self._exec_cache
-             if k[0] >= sel_n and k[1] >= mm_need},
+            {k for k in warm if k[0] >= sel_n and k[1] >= mm_need},
             key=lambda k: k[0] * k[1])
         if cands:
             st["_R"], st["_mm"] = cands[0]

@@ -349,15 +349,35 @@ def test_cold_shape_absorption_matches_exact_buckets():
     shapes = {(k[0]) for k in eng._exec_cache}
     assert shapes == {256}, eng._exec_cache.keys()
 
-    # exact-bucket engines (fresh caches, so the tail runs at its
-    # NATURAL bucket — absorption has nothing warm to absorb into)
+    # exact-bucket control: with the PROCESS-GLOBAL cache emptied, a
+    # fresh engine's tail runs at its NATURAL bucket (absorption has
+    # nothing warm to absorb into)
+    import classpro_tpu.tpu.engine as E
+
     eng2 = TpuEngine(gm, batch_size=200)
     want = eng2.classify_chunk(seqs[:200], profs[:200])
-    eng3 = TpuEngine(gm, batch_size=200)
-    want += eng3.classify_chunk(seqs[200:260], profs[200:260])
-    assert any(k[0] < 256 for k in eng3._exec_cache), \
-        "tail engine should have used its natural smaller bucket"
+    saved = dict(E._AOT_CACHE)
+    try:
+        E._AOT_CACHE.clear()
+        eng3 = TpuEngine(gm, batch_size=200)
+        want += eng3.classify_chunk(seqs[200:260], profs[200:260])
+        assert any(k[0] < 256 for k in eng3._exec_cache), \
+            "tail engine should have used its natural smaller bucket"
+    finally:
+        # restore EXACTLY: eng3's own (64, ...) build must not leak
+        # into the cross-engine check below
+        E._AOT_CACHE.clear()
+        E._AOT_CACHE.update(saved)
     assert got == want
+
+    # cross-engine absorption (the `cli serve` per-job case): a FRESH
+    # engine in a warm process absorbs into shapes a previous engine
+    # already built, instead of compiling its own natural bucket
+    eng4 = TpuEngine(gm, batch_size=200)
+    got_tail = eng4.classify_chunk(seqs[200:260], profs[200:260])
+    assert {k[0] for k in eng4._exec_cache} == {256}, \
+        eng4._exec_cache.keys()
+    assert got_tail == want[200:260]
 
 
 def test_warmup_smoke():

@@ -190,6 +190,82 @@ def run_classify(d: str, platform: str) -> dict:
             "stderr_tail": err.strip().splitlines()[-3:]}
 
 
+def run_classify_served(d: str, platform: str) -> dict:
+    """The amortization framing (VERDICT r4 #2): a `cli serve` daemon
+    warms the dataset's shape buckets ONCE, then a `classify --server`
+    job attaches.  Reported separately from the fresh-process framing:
+    the daemon pays the platform's deferred-build cost at startup; the
+    JOB should stream essentially stall-free."""
+    env = dict(os.environ)
+    cmd0 = [sys.executable, "-m", "classpro_tpu.cli"]
+    if platform == "cpu":
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        cmd0 += ["--platform", "cpu"]
+    sock = os.path.join(d, "cp.sock")
+    out = os.path.join(d, "served.class")
+    t0 = time.time()
+    srv = subprocess.Popen(
+        cmd0 + ["serve", "--socket", sock, "-v",
+                "--warmup-root", os.path.join(d, "reads"),
+                "--warmup-shape", "256x192", "--warmup-shape", "256x256"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True)
+    from classpro_tpu.serve import request
+
+    warm = None
+    deadline = time.time() + 1800     # cold service build: minutes
+    while time.time() < deadline:
+        if srv.poll() is not None:
+            raise AssertionError(
+                f"serve died: {srv.stderr.read()[-2000:]}")
+        if os.path.exists(sock):
+            try:
+                if request(sock, {"cmd": "ping"}, timeout=5)["ok"]:
+                    warm = round(time.time() - t0, 1)
+                    break
+            except (ConnectionError, OSError):
+                pass
+        time.sleep(1.0)
+    assert warm is not None, "serve never became ready"
+    t1 = time.time()
+    cli = subprocess.Popen(
+        cmd0 + ["classify", "--server", sock,
+                os.path.join(d, "reads.fasta"), "-o", out],
+        env=env, stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,
+        text=True)
+    samples = []
+    while cli.poll() is None:
+        time.sleep(1.0)
+        sz = os.path.getsize(out) if os.path.exists(out) else 0
+        samples.append({"t": round(time.time() - t1, 1),
+                        "out_mb": round(sz / 1e6, 1)})
+    err = cli.communicate()[1]
+    wall = time.time() - t1
+    assert cli.returncode == 0, err[-2000:]
+    grow_s = stall_s = grow_mb = 0.0
+    for a, b in zip(samples, samples[1:]):
+        dd = b["out_mb"] - a["out_mb"]
+        if dd > 0:
+            grow_s += b["t"] - a["t"]
+            grow_mb += dd
+        else:
+            stall_s += b["t"] - a["t"]
+    try:
+        request(sock, {"cmd": "shutdown"}, timeout=10)
+        srv.wait(timeout=60)
+    except Exception:
+        srv.kill()
+    same = _files_equal(out, os.path.join(d, "soak.class"))
+    return {"server_warmup_s": warm, "job_wall_s": round(wall, 1),
+            "stall_seconds": round(stall_s, 1),
+            "growth_seconds": round(grow_s, 1),
+            "sustained_out_mb_s": round(grow_mb / grow_s, 2)
+            if grow_s else None,
+            "equal_to_fresh": same,
+            "samples": samples[:: max(1, len(samples) // 60)]}
+
+
 def spot_parity(d: str, n: int, meta: dict, seed: int = 5) -> dict:
     from classpro_tpu.estimation import build_global_model
     from classpro_tpu.exact.pipeline import ReadClassifier
@@ -269,6 +345,7 @@ def main() -> int:
                 help="sampled exact-oracle parity reads (>=1% of the 0.5 Gbp dataset, VERDICT r4 #5)")
     ap.add_argument("--skip-gen", action="store_true")
     ap.add_argument("--skip-shard", action="store_true")
+    ap.add_argument("--skip-serve", action="store_true")
     a = ap.parse_args()
 
     d = a.dir
@@ -285,6 +362,14 @@ def main() -> int:
     print(f"[classify] wall={res['classify']['wall_s']}s "
           f"e2e={res['classify']['mkmers_per_s_e2e']} Mk/s "
           f"rss_peak={res['classify']['rss_peak_mb']}MB", flush=True)
+    if not a.skip_serve:
+        res["served"] = run_classify_served(d, a.platform)
+        res["served"]["mkmers_per_s_job"] = round(
+            kmers / res["served"]["job_wall_s"] / 1e6, 2)
+        print(f"[served] warmup={res['served']['server_warmup_s']}s "
+              f"job={res['served']['job_wall_s']}s "
+              f"({res['served']['mkmers_per_s_job']} Mk/s, stalls "
+              f"{res['served']['stall_seconds']}s)", flush=True)
     res["spot_parity"] = spot_parity(d, a.spot, meta)
     print(f"[parity] {res['spot_parity']}", flush=True)
     if not a.skip_shard:
@@ -295,7 +380,8 @@ def main() -> int:
         json.dump(res, f, indent=1)
     print(f"wrote {a.out}", flush=True)
     ok = (res["spot_parity"]["mismatches"] == 0
-          and (a.skip_shard or res["shard_merge"]["merge_equal"]))
+          and (a.skip_shard or res["shard_merge"]["merge_equal"])
+          and (a.skip_serve or res["served"]["equal_to_fresh"]))
     return 0 if ok else 1
 
 
