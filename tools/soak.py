@@ -67,11 +67,20 @@ def _kmer_codes(seq_u8: np.ndarray) -> np.ndarray:
 
 
 def generate(outdir: str, gbp: float, seed: int = 11,
-             nparts: int = 2) -> dict:
+             nparts: int = 2, kmer: int = 0, cov: float = 0.0) -> dict:
     os.makedirs(outdir, exist_ok=True)
-    # keep coverage >= ~40x so estimation sees real peaks; cap the
-    # genome at 6 Mbp so the 0.5-1 Gbp soak runs ~80-170x (HiFi-like)
-    genome_len = min(6_000_000, int(gbp * 1e9 / 40))
+    global K
+    if kmer:
+        assert kmer <= 32, "vectorized counter packs K<=32 in uint64"
+        K = kmer
+    # default: keep coverage >= ~40x so estimation sees real peaks; cap
+    # the genome at 6 Mbp so the 0.5-1 Gbp soak runs ~80-170x
+    # (HiFi-like).  --cov pins the coverage instead (extra geometries
+    # for matched baselines, VERDICT r4 #3).
+    if cov:
+        genome_len = int(gbp * 1e9 / cov)
+    else:
+        genome_len = min(6_000_000, int(gbp * 1e9 / 40))
     coverage = gbp * 1e9 / genome_len
     cfg = SimConfig(seed=seed, genome_len=genome_len, coverage=coverage,
                     read_len_mean=12_000, read_len_sd=2_500,
@@ -338,6 +347,10 @@ def _files_equal(a: str, b: str) -> bool:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--gbp", type=float, default=0.5)
+    ap.add_argument("--kmer", type=int, default=0,
+                    help="k-mer size for generation (<=32; default 28)")
+    ap.add_argument("--cov", type=float, default=0.0,
+                    help="pin the dataset coverage (default: 6Mb genome cap)")
     ap.add_argument("--dir", default="/tmp/soak")
     ap.add_argument("--platform", choices=["cpu", "tpu"], default="tpu")
     ap.add_argument("--out", default="artifacts/SOAK_r05.json")
@@ -352,7 +365,7 @@ def main() -> int:
     if a.skip_gen and os.path.exists(os.path.join(d, "meta.json")):
         meta = json.load(open(os.path.join(d, "meta.json")))
     else:
-        meta = generate(d, a.gbp)
+        meta = generate(d, a.gbp, kmer=a.kmer, cov=a.cov)
     res = {"meta": meta, "platform": a.platform,
            "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
     res["classify"] = run_classify(d, a.platform)
