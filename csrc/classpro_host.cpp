@@ -2631,13 +2631,65 @@ struct Cls {
     int ip = pred(i);
 
     double tr[4][4];
+    // Per-step lp-level caches (bit-exact reuse): lp_e ignores the
+    // source state entirely, and lp_r/lp_d/lp_h depend on the source
+    // only through a few ST/DH fields that usually coincide across the
+    // 4 states (same reason x_skellam_memo pays off) — cache the final
+    // exp(lp) keyed on those exact inputs so repeated states skip the
+    // poisson/binom/skellam/exp work.  Deterministic pure functions +
+    // identical inputs => identical bits; num_err is sticky, so a
+    // cached first call sets it exactly as repeated calls would.
+    bool lpe_has = false;
+    double lpe_v = 0.0;
+    int nr = 0, nd = 0, nh = 0;
+    int64_t r_key[4];
+    int64_t d_key[4][2], h_key[4][2], h_dc[4][2];
+    double h_rkey[4];
+    double r_v[4], d_v[4], h_v[4];
     for (int s = 0; s < 4; s++) {
       if (DP(ip, s) == NEG_INF) {
         for (int t = 0; t < 4; t++) tr[s][t] = 0.0;
         continue;
       }
-      for (int t = 0; t < 4; t++)
-        tr[s][t] = std::exp(calc_logp(s, t, i, &ST(ip, s, 0)));
+      const StPair* sp = &ST(ip, s, 0);
+      for (int t = 0; t < 4; t++) {
+        if (t == XE) {
+          if (!lpe_has) { lpe_v = std::exp(lp_e(i)); lpe_has = true; }
+          tr[s][t] = lpe_v;
+        } else if (t == XR) {
+          int64_t k = sp[XR].cnt;
+          int j = 0;
+          while (j < nr && r_key[j] != k) j++;
+          if (j == nr) { r_key[nr] = k; r_v[nr++] = std::exp(lp_r(i, sp[XR])); }
+          tr[s][t] = r_v[j];
+        } else if (t == XD) {
+          int64_t kp = sp[XD].pos, kc = sp[XD].cnt;
+          int j = 0;
+          while (j < nd && (d_key[j][0] != kp || d_key[j][1] != kc)) j++;
+          if (j == nd) {
+            d_key[nd][0] = kp; d_key[nd][1] = kc;
+            d_v[nd++] = std::exp(lp_d(i, s, sp));
+          }
+          tr[s][t] = d_v[j];
+        } else {  // XH: depends on sp[XH], DH(pred,s), and sp[XD]
+          double r = DH(ip, s);
+          int64_t kp = sp[XH].pos, kc = sp[XH].cnt;
+          int j = 0;
+          while (j < nh && (h_key[j][0] != kp || h_key[j][1] != kc ||
+                            !((h_rkey[j] == r) ||
+                              (std::isnan(h_rkey[j]) && std::isnan(r))) ||
+                            h_dc[j][0] != sp[XD].pos ||
+                            h_dc[j][1] != sp[XD].cnt))
+            j++;
+          if (j == nh) {
+            h_key[nh][0] = kp; h_key[nh][1] = kc;
+            h_rkey[nh] = r;
+            h_dc[nh][0] = sp[XD].pos; h_dc[nh][1] = sp[XD].cnt;
+            h_v[nh++] = std::exp(lp_h(i, s, sp));
+          }
+          tr[s][t] = h_v[j];
+        }
+      }
     }
     double psum = 0.0;
     for (int s = 0; s < 4; s++)

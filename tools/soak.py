@@ -145,7 +145,13 @@ def run_classify(d: str, platform: str) -> dict:
     cmd = [sys.executable, "-m", "classpro_tpu.cli"]
     if platform == "cpu":
         cmd += ["--platform", "cpu"]
-    cmd += ["classify", "-v", "--stats-json", stats_path,
+    # --warmup: one dataset-aware build up front (engine samples the
+    # wall stage over the first chunk and warms exactly the dataset's
+    # bucket); absorption covers every other chunk shape, so the fresh
+    # process pays the platform's deferred-build cost ONCE (VERDICT r4
+    # #2 — the rest of that cost is the service's first-execution
+    # floor, ledgered in BASELINE_MEASURED.md).
+    cmd += ["classify", "-v", "--warmup", "--stats-json", stats_path,
             os.path.join(d, "reads.fasta"), "-o", out]
     t0 = time.time()
     p = subprocess.Popen(cmd, env=env, stdout=subprocess.DEVNULL,
