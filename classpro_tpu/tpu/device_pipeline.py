@@ -315,57 +315,87 @@ def demote_host(rel2: "np.ndarray", rescue: "np.ndarray",
     mv = np.asarray(m, np.int64)
     cols = np.arange(max_m)[None, :]
     inb1 = cols < mv[:, None]
-    flip_idx = np.where(inb1, mv[:, None] - 1 - cols, cols)
-
-    def rev(a):
-        return np.take_along_axis(a, flip_idx, axis=1)
-
-    b64 = b.astype(np.int64)
-    e64 = e.astype(np.int64)
-    ccb64 = ccb.astype(np.int64)
-    cce64 = cce.astype(np.int64)
-    # scan-order planes for both directions (same derivation as
-    # _rel_only_core): fw enters at b/ccb, leaves at e-1/cce; bw rows
-    # are index-reversed with the roles swapped
-    l1 = np.abs((e64 - 1) - b64) + 1
-    l_arr = np.concatenate([l1, rev(l1)])
-    bcnt = np.concatenate([ccb64, rev(cce64)])
-    ecnt = np.concatenate([cce64, rev(ccb64)])
     inb = np.concatenate([inb1, inb1])
     m2 = np.concatenate([mv, mv])
-    asgn = rel2.astype(np.int64)
+    asgn = np.array(rel2, copy=True)   # int8 work copy (flips in place)
     gHi = np.int64(gH)
     gDi = np.int64(gD)
 
-    def dsum(state):
-        mask = inb & (asgn == state)
-        lsum = np.where(mask, l_arr, 0).sum(axis=1)
-        csum = np.where(mask, (bcnt + ecnt) * l_arr // 2, 0).sum(axis=1)
-        return lsum, csum
+    # The demotion conditions gate on rare row properties (rescue flag,
+    # all-H, >=70%-H), so the heavy int64 interval planes are built only
+    # for CANDIDATE rows; the masks themselves are cheap int8/bool
+    # passes.  Flips are applied in place between stages because each
+    # stage's mask reads the PREVIOUS stage's result (a rescue-flipped
+    # row can become all-H; an all-H-flipped row changes its H count) —
+    # same sequencing as the reference's class_rel.c:650-713.
+    def planes(rows):
+        """l/bcnt/ecnt int64 planes (scan order) for 2R-row indices."""
+        rr = rows % R
+        bs = b[rr].astype(np.int64)
+        es = e[rr].astype(np.int64)
+        cbs = ccb[rr].astype(np.int64)
+        ces = cce[rr].astype(np.int64)
+        l = np.abs((es - 1) - bs) + 1
+        bc, ec = cbs, ces
+        bw = np.nonzero(rows >= R)[0]
+        if bw.size:
+            mvk = mv[rr[bw]]
+            fi = np.where(cols < mvk[:, None], mvk[:, None] - 1 - cols,
+                          cols)
+            l[bw] = np.take_along_axis(l[bw], fi, axis=1)
+            bc = bc.copy()
+            ec = ec.copy()
+            bc[bw] = np.take_along_axis(ces[bw], fi, axis=1)
+            ec[bw] = np.take_along_axis(cbs[bw], fi, axis=1)
+        return l, bc, ec
 
+    # ---- no-H rescue rows: D -> H when the D-run mean sits nearer gH
     no_h2 = np.asarray(rescue, bool) & ~(inb & (asgn == HAPLO)).any(axis=1)
-    lsum2, csum2 = dsum(DIPLO)
-    flip = no_h2 & (lsum2 > 0) & (np.abs(csum2 - gHi * lsum2)
-                                  <= np.abs(csum2 - gDi * lsum2))
-    asgn = np.where(flip[:, None] & (asgn == DIPLO), HAPLO, asgn)
+    rows = np.nonzero(no_h2)[0]
+    if rows.size:
+        l, bc, ec = planes(rows)
+        mask = inb[rows] & (asgn[rows] == DIPLO)
+        lsum = np.where(mask, l, 0).sum(axis=1)
+        csum = np.where(mask, (bc + ec) * l // 2, 0).sum(axis=1)
+        flip = (lsum > 0) & (np.abs(csum - gHi * lsum)
+                             <= np.abs(csum - gDi * lsum))
+        fr = rows[flip]
+        sub = asgn[fr]
+        asgn[fr] = np.where(sub == DIPLO, HAPLO, sub)
 
-    all_h = (~inb | (asgn == HAPLO)).all(axis=1)
-    lsum_a = np.where(inb, l_arr, 0).sum(axis=1)
-    csum_a = np.where(inb, (bcnt + ecnt) * l_arr // 2, 0).sum(axis=1)
-    flip_all = all_h & (np.abs(csum_a - gHi * lsum_a)
-                        >= np.abs(csum_a - gDi * lsum_a))
-    asgn = np.where(flip_all[:, None] & inb,
-                    np.where(asgn == HAPLO, DIPLO, asgn), asgn)
+    # ---- all-H rows: H -> D when the row mean sits nearer (or tied) gD
+    # (m2 == 0 padding rows are vacuously all-H but have no in-bounds
+    # position to flip — the original applied a no-op; skip them)
+    all_h = (~inb | (asgn == HAPLO)).all(axis=1) & (m2 > 0)
+    rows = np.nonzero(all_h)[0]
+    if rows.size:
+        l, bc, ec = planes(rows)
+        ib = inb[rows]
+        lsum = np.where(ib, l, 0).sum(axis=1)
+        csum = np.where(ib, (bc + ec) * l // 2, 0).sum(axis=1)
+        flip = np.abs(csum - gHi * lsum) >= np.abs(csum - gDi * lsum)
+        fr = rows[flip]
+        sub = asgn[fr]
+        asgn[fr] = np.where((sub == HAPLO) & inb[fr], DIPLO, sub)
 
+    # ---- >=70%-H rows: demote H -> D and D -> R together
     n_h = (inb & (asgn == HAPLO)).sum(axis=1)
-    many_h = n_h >= m2 * 0.7
-    lsum_h, csum_h = dsum(HAPLO)
-    demote = many_h & (lsum_h > 0) & (np.abs(csum_h - gHi * lsum_h)
-                                      >= np.abs(csum_h - gDi * lsum_h))
-    asgn = np.where(demote[:, None] & (asgn == HAPLO) & inb, 100, asgn)
-    asgn = np.where(demote[:, None] & (asgn == DIPLO) & inb, REPEAT, asgn)
-    asgn = np.where(asgn == 100, DIPLO, asgn)
-    return asgn.astype(rel2.dtype)
+    many_h = (n_h >= m2 * 0.7) & (m2 > 0)   # 0 >= 0.0 is vacuous: no-op
+    rows = np.nonzero(many_h)[0]
+    if rows.size:
+        l, bc, ec = planes(rows)
+        mask = inb[rows] & (asgn[rows] == HAPLO)
+        lsum = np.where(mask, l, 0).sum(axis=1)
+        csum = np.where(mask, (bc + ec) * l // 2, 0).sum(axis=1)
+        dem = (lsum > 0) & (np.abs(csum - gHi * lsum)
+                            >= np.abs(csum - gDi * lsum))
+        fr = rows[dem]
+        sub = asgn[fr]
+        ib = inb[fr]
+        sub = np.where((sub == DIPLO) & ib, REPEAT,
+                       np.where((sub == HAPLO) & ib, DIPLO, sub))
+        asgn[fr] = sub
+    return asgn.astype(rel2.dtype, copy=False)
 
 
 def _reconcile_dev(asgn, m, bcnt, ecnt, fwd, R: int, max_m: int):
