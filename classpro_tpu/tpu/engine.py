@@ -971,7 +971,15 @@ def classify_file_tpu(fastx_path: str, fastk_root: str, coverage: int = 0,
                 continue
             _, nr = eng.wall.wall_stage(rec.seq.encode("ascii"), prof)
             nrel_max = max(nrel_max, nr)
-        shapes = ((_bucket(batch_size), _bucket_m(nrel_max)),)
+        # Warm ONE LADDER STEP above the sampled bucket: the first-chunk
+        # sample underestimates the dataset max (SOAK_r05: sampled 192,
+        # later chunks hit 256 and paid a second multi-minute mid-stream
+        # build), absorption only goes UPWARD, and the extra mm padding
+        # is measured free (mm-256-for-all vs natural on the soak
+        # geometry: 36.2-37.3 vs 36.9-37.5 Mk/s — inside noise).
+        mb = _bucket_m(nrel_max)
+        nxt = next((b for b in _M_LADDER if b > mb), mb * 2)
+        shapes = ((_bucket(batch_size), nxt),)
         print(f"warming up device program for shape {shapes[0]} "
               f"(sampled {sample_n} reads, max n_rel {nrel_max}; first "
               f"execution builds the TPU program — minutes on a cold "
