@@ -142,6 +142,11 @@ def run_classify(d: str, platform: str) -> dict:
         env["CLASSPRO_NO_PREFLIGHT"] = "1"
     out = os.path.join(d, "soak.class")
     stats_path = os.path.join(d, "soak.stats.json")
+    # a stale out file from a previous run sits at full size until the
+    # CLI truncates it post-warmup, corrupting the growth/stall samples
+    for p in (out, stats_path):
+        if os.path.exists(p):
+            os.remove(p)
     cmd = [sys.executable, "-m", "classpro_tpu.cli"]
     if platform == "cpu":
         cmd += ["--platform", "cpu"]
